@@ -1,0 +1,25 @@
+"""Test harness config: force the LOCAL CPU backend with 8 virtual devices.
+
+The image's sitecustomize registers an `axon` remote-TPU backend and sets
+jax_platforms="axon,cpu" with terminal-side (remote) compilation — fine for
+bench.py, but every test compile would ride the tunnel.  JAX backends
+initialize lazily, so overriding the config here (before any op runs) pins
+tests to the in-process CPU backend; the 8 virtual devices let the multi-chip
+sharding paths compile and execute without TPU hardware.
+"""
+
+import os
+
+# read lazily at backend init — still effective here
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+
+import jax  # noqa: E402  (likely already imported by sitecustomize)
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
