@@ -151,11 +151,19 @@ def tensor(param: Param, a: RLWE, b: RLWE, fast: bool = False):
 
     parity path: uncentered [0,q) lift -> exact i64 dense convolution
     (unreduced, 2n-1 coeffs) -> f64 round(t·v/q) -> mod q -> negacyclic fold.
-    fast path: CRT-NTT convolution (folded), then the same f64 scaling."""
+    This replicates the reference bit-for-bit but its noise grows ~n^2·q·t
+    (uncentered representatives) and stops decrypting beyond n ≈ 32 — a
+    reference limitation, observable in its own n=16 test choice.
+
+    fast path (production): CENTERED lift to (-q/2, q/2] (textbook BFV),
+    CRT-NTT convolution (folded), then the same f64 scaling — correct noise
+    growth, scales to N = 2^14, fully jittable."""
     q, n, t = param.ring.q, param.ring.n, param.t
     a0, a1 = a.c0.astype(jnp.int64), a.c1.astype(jnp.int64)
     b0, b1 = b.c0.astype(jnp.int64), b.c1.astype(jnp.int64)
     if fast:
+        a0, a1, b0, b1 = (rq.to_centered_i64(x.astype(jnp.uint64), q)
+                          for x in (a0, a1, b0, b1))
         mul = ntt.polymul_i64_crt
         post = lambda v: rq.from_i64(  # noqa: E731
             round_half_away(float(t) * v.astype(jnp.float64) / float(q)
@@ -183,7 +191,9 @@ def relinearize(param: Param, rlk: RLK, c0, c1, c2, fast: bool = False) -> RLWE:
     lo = (rlk.r0 & U64((1 << w) - 1)).astype(jnp.int64)
     hi1 = (rlk.r1 >> U64(w)).astype(jnp.int64)
     lo1 = (rlk.r1 & U64((1 << w) - 1)).astype(jnp.int64)
-    c2i = c2.astype(jnp.int64)
+    # fast path: centered c2 keeps the relin rounding error independent of
+    # the representative range (matches the centered tensor above)
+    c2i = rq.to_centered_i64(c2, q) if fast else c2.astype(jnp.int64)
     mul = ntt.polymul_i64_crt if fast else rn.naive_mul
 
     def scaled(hi_limb, lo_limb):
