@@ -132,28 +132,44 @@ def mul(a, b):
 # -- rotations / extraction -------------------------------------------------
 
 def left_rotate(a, h, n: int):
-    """Multiply by X^{-h}, h in [0, 2n) (traced or static).
+    """Multiply by X^{-h}, h in [0, 2n), traced or static; h must be
+    broadcastable to a.shape[:-1] (per-batch rotation amounts supported).
 
     h < n reproduces the reference exactly (ring_torus.rs:118-132:
     [c_h..c_{n-1}, -c_0..-c_{h-1}]); h in [n, 2n) applies the extra
     negacyclic sign flip (X^{-n} = -1), needed by the *correct* blind
     rotation over mod-2N switched exponents."""
     h = jnp.asarray(h, jnp.int64) % (2 * n)
-    idx = (jnp.arange(n, dtype=jnp.int64) + h) % (2 * n)
+    idx = (jnp.arange(n, dtype=jnp.int64) + h[..., None]) % (2 * n)
     wrapped = idx >= n
     take = jnp.where(wrapped, idx - n, idx)
-    vals = jnp.take(a, take, axis=-1)
-    return jnp.where(wrapped, U64(0) - vals, vals)
+    shape = jnp.broadcast_shapes(a.shape, take.shape)
+    a_b = jnp.broadcast_to(a, shape)
+    take_b = jnp.broadcast_to(take, shape)
+    wrapped_b = jnp.broadcast_to(wrapped, shape)
+    vals = jnp.take_along_axis(a_b, take_b, axis=-1)
+    return jnp.where(wrapped_b, U64(0) - vals, vals)
 
 
 # -- switches / decomposition ----------------------------------------------
 
 def mod_switch(a, q2: int):
     """2^64 -> q2 (power of two): right shift by 64 - log2(q2)
-    (reference torus.rs:58-66)."""
+    (reference torus.rs:58-66 — floor semantics)."""
     assert q2 & (q2 - 1) == 0 and q2 > 0
     log2_q2 = q2.bit_length() - 1
     return a >> U64(64 - log2_q2)
+
+
+def mod_switch_round(a, q2: int):
+    """2^64 -> q2 (power of two), round-to-nearest: the standard TFHE
+    mod switch. Floor switching biases the blind-rotation phase by
+    +E[sum frac_j * s_j] ≈ kn/4 switched units — a full LUT window at
+    typical parameters — so the correct bootstrap must round."""
+    assert q2 & (q2 - 1) == 0 and q2 > 0
+    log2_q2 = q2.bit_length() - 1
+    shifted = a >> U64(63 - log2_q2)                     # one guard bit
+    return ((shifted + U64(1)) >> U64(1)) % U64(q2)
 
 
 def mod_switch_to_rq(a, p: int):

@@ -1,0 +1,134 @@
+"""TFHE programmable bootstrapping: LUT build, blind rotation, key switch.
+
+The reference's blind rotation (reference tfhe/src/tlwe.rs:121-148) contains
+a lazy-iterator bug: its CMux chain is never executed, and it mod-switches to
+q2 = K·N instead of 2N — the test only passes because `encrypt_s` uses a
+near-zero binary mask (SURVEY §2.5).  This module implements the CORRECT
+full CMux chain over all K·N key bits (per eprint 2018/421 / 2021/1402) as a
+`lax.scan`, with two mod-switch modes:
+
+  * mode="standard": q2 = 2N — real TFHE; the test polynomial is negacyclic,
+    so messages must live in [0, t/2) (or the LUT must satisfy
+    f(m + t/2) = -f(m)).
+  * mode="reference": q2 = K·N — reproduces the reference's observable
+    behavior (identity bootstrap over the full [0, t) range) for
+    tiny-mask (encrypt_s) ciphertexts, where all switched mask digits
+    vanish and the chain contributes nothing.
+
+The BootstrappingKey is per-key-BIT (K·N TGGSWs), the correct granularity —
+the reference builds K per-polynomial TGGSWs (tlwe.rs:176-179), which is
+only consistent with its never-executed chain.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...arith import tn
+from ...utils import prng
+from ..gfhe import glwe as G
+from ..gfhe.glwe import GLWE, Param
+from . import tlwe as tlwe_mod
+from . import tglwe as tglwe_mod
+from . import tggsw as tggsw_mod
+from .tlwe import TLWE
+from .tggsw import TGGSW
+
+U64 = jnp.uint64
+
+
+class BootstrappingKey(NamedTuple):
+    btk_a: jax.Array  # [kn, K+1, l, K, N]  — TGGSW per LWE key bit
+    btk_b: jax.Array  # [kn, K+1, l, N]
+    ksk_a: jax.Array  # [kn, l_ks, kn]
+    ksk_b: jax.Array  # [kn, l_ks]
+
+
+def compute_lookup_table(param: Param) -> GLWE:
+    """v(X): t plaintext values each repeated N/t times, encoded, wrapped as a
+    noiseless TGLWE (tlwe.rs:196-214; cites eprint 2021/1402).
+
+    Used with mode="reference" (q2 = K·N): one slot window per message."""
+    n, t = param.ring.n, param.t
+    delta_slots = n // t
+    values = jnp.repeat(jnp.arange(t, dtype=jnp.uint64), delta_slots)
+    v = tglwe_mod.encode(param, values % U64(t))
+    return tglwe_mod.from_plaintext(param, v)
+
+
+def compute_lookup_table_standard(param: Param) -> GLWE:
+    """Identity LUT for mode="standard" (q2 = 2N, negacyclic): messages live
+    in [0, t/2); each of the t/2 values occupies a 2N/t coefficient window."""
+    n, t = param.ring.n, param.t
+    window = 2 * n // t
+    values = jnp.repeat(jnp.arange(t // 2, dtype=jnp.uint64), window)
+    v = tglwe_mod.encode(param, values % U64(t))
+    return tglwe_mod.from_plaintext(param, v)
+
+
+def new_bootstrapping_key(key, param: Param, s_tglwe,
+                          beta: int = 2, l: int = 64,
+                          beta_ks: int = 2, l_ks: int = 64,
+                          s_lwe_out=None) -> BootstrappingKey:
+    """BTK = (TGGSW_s(s_bit_j) for each of the kn LWE key bits,
+    KSK: extracted key -> fresh TLWE key)  (tlwe.rs:169-194, corrected to
+    per-bit granularity).  All kn TGGSW encryptions run as one batch."""
+    kn = param.kn
+    k_btk, k_sk2, k_ksk = prng.split(key, 3)
+    s_flat = tglwe_mod.sk_to_tlwe(s_tglwe)                  # [kn]
+    if s_lwe_out is None:
+        s_lwe_out, _ = tlwe_mod.new_key(k_sk2, param.lwe())
+    # each bit as a constant polynomial m_j(X) = s_j
+    n = param.ring.n
+    bits_poly = jnp.zeros((kn, n), U64).at[:, 0].set(s_flat)
+    g = tggsw_mod.encrypt_s(k_btk, param, beta, l, s_tglwe, bits_poly,
+                            batch=(kn,))
+    ksk = tlwe_mod.new_ksk(k_ksk, param.lwe(), beta_ks, l_ks,
+                           s_flat, s_lwe_out)
+    return BootstrappingKey(btk_a=g.a, btk_b=g.b, ksk_a=ksk.a, ksk_b=ksk.b), \
+        s_lwe_out
+
+
+def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
+                   beta: int = 2, l: int = 64, mode: str = "standard") -> GLWE:
+    """acc = v·X^{-b'} ; for each key bit j: acc = CMux(btk_j, acc, acc·X^{+a'_j}).
+
+    Final rotation ≈ -(b' - Σ a'_j s_j) = -phase(m).  The chain runs as a
+    lax.scan over the kn bits; each step is one fused external product."""
+    kn, n = param.kn, param.ring.n
+    q2 = (2 * n) if mode == "standard" else kn
+    if mode == "standard":
+        # round-to-nearest switch (floor bias ≈ kn/4 units = a full window)
+        c2 = TLWE(a=tn.mod_switch_round(c.a, q2), b=tn.mod_switch_round(c.b, q2))
+    else:
+        c2 = tlwe_mod.mod_switch(c, q2)   # reference floor semantics
+    # half-window centering: land phases mid-slot so the lookup tolerates
+    # ±window/2 of noise+switching error.  (The reference omits this and its
+    # test survives only by its saturating-noise/{0,1,2}-mask quirks.)
+    half = (n // param.t) if mode == "standard" else (n // param.t) // 2
+    acc0 = tglwe_mod.left_rotate(param, table, c2.b + U64(half))
+
+    def step(acc, inputs):
+        a_j, ga, gb = inputs
+        bit = TGGSW(a=ga, b=gb)
+        rot = tglwe_mod.left_rotate(param, acc, (U64(2 * n) - a_j) % U64(2 * n))
+        acc = tggsw_mod.cmux(param, beta, l, bit, acc, rot)
+        return acc, None
+
+    # scan over the kn key bits; a'_j are scalars [kn] (+ leading batch dims
+    # handled by broadcasting inside cmux)
+    a_T = jnp.moveaxis(c2.a, -1, 0)                        # [kn, ...batch]
+    acc, _ = jax.lax.scan(step, acc0, (a_T, btk.btk_a, btk.btk_b))
+    return acc
+
+
+def bootstrap(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
+              beta: int = 2, l: int = 64,
+              beta_ks: int = 2, l_ks: int = 64,
+              mode: str = "standard") -> TLWE:
+    """blind rotation -> sample_extraction(0) -> key switch (tlwe.rs:150-161)."""
+    rotated = blind_rotation(param, btk, table, c, beta, l, mode)
+    c_h = tglwe_mod.sample_extraction(param, rotated, 0)
+    ksk = tlwe_mod.KSK(a=btk.ksk_a, b=btk.ksk_b)
+    return tlwe_mod.key_switch(param.lwe(), beta_ks, l_ks, ksk, c_h)

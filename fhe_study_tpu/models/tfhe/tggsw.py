@@ -1,0 +1,118 @@
+"""TGGSW + TGLev over torus polynomials (reference tfhe/src/tggsw.rs).
+
+    TGLev(a=[..., l, K, N], b=[..., l, N])
+    TGGSW(a=[..., K+1, l, K, N], b=[..., K+1, l, N])
+
+The external product TGGSW ⊠ TGLWE is the bootstrapping workhorse: it
+decomposes the (K+1) ciphertext polys into l digit-polys each and contracts
+the (K+1)·l grid of polynomial products through ONE fused CRT-NTT pipeline
+(TorusRing.contract) — digits transform once, key rows were transformable
+ahead of time, partial sums reduce in the eval domain.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...arith import tn
+from ...arith.ring import TorusRing
+from ...ops import modops
+from ...utils import prng
+from ..gfhe import glwe as G
+from ..gfhe.glwe import GLWE, Param
+from .tlwe import TORUS_MAX, _tlev_scales
+
+U64 = jnp.uint64
+
+
+class TGLev(NamedTuple):
+    a: jax.Array  # [..., l, K, N]
+    b: jax.Array  # [..., l, N]
+
+
+class TGGSW(NamedTuple):
+    a: jax.Array  # [..., K+1, l, K, N]
+    b: jax.Array  # [..., K+1, l, N]
+
+
+# -- TGLev (tggsw.rs:65-128) ------------------------------------------------
+
+def tglev_encode(param: Param, m):
+    return jnp.asarray(m, U64)
+
+
+def tglev_decode(param: Param, p):
+    return modops.coerce_u64(p, param.t)
+
+
+def tglev_encrypt_s(key, param: Param, beta: int, l: int, s, m, batch=()) -> TGLev:
+    scales = _tlev_scales(beta, l)                          # [l]
+    msgs = jnp.asarray(m, U64)[..., None, :] * scales[:, None]  # [..., l, N]
+    ct = G.encrypt_s(key, param, s, msgs, batch=tuple(batch) + (l,))
+    return TGLev(a=ct.a, b=ct.b)
+
+
+def tglev_encrypt(key, param: Param, beta: int, l: int, pk, m, batch=()) -> TGLev:
+    scales = _tlev_scales(beta, l)
+    msgs = jnp.asarray(m, U64)[..., None, :] * scales[:, None]
+    ct = G.encrypt(key, param, pk, msgs, batch=tuple(batch) + (l,))
+    return TGLev(a=ct.a, b=ct.b)
+
+
+def tglev_decrypt(param: Param, s, c: TGLev, beta: int):
+    pt = G.decrypt(param, s, GLWE(a=c.a[..., 0, :, :], b=c.b[..., 0, :]))
+    return tn.mul_div_round(pt, beta, TORUS_MAX)
+
+
+def tglev_mul_vec(param: Param, c: TGLev, v) -> GLWE:
+    """sum_i TGLWE_i · v_i, v: [..., l, N] (tggsw.rs:139-149)."""
+    ring = TorusRing(param.ring.n)
+    b = ring.contract(c.b, v)
+    a = ring.contract(jnp.moveaxis(c.a, -2, 0), v)
+    return GLWE(a=jnp.moveaxis(a, 0, -2), b=b)
+
+
+# -- TGGSW (tggsw.rs:16-62) -------------------------------------------------
+
+def encrypt_s(key, param: Param, beta: int, l: int, s, m, batch=()) -> TGGSW:
+    """Rows j < K encrypt -s_j·m (polynomial product!); row K encrypts m.
+    One batched GLWE encryption over the (K+1, l) grid."""
+    ring = TorusRing(param.ring.n)
+    m = jnp.asarray(m, U64)
+    neg_sm = ring.mul(ring.neg(s), m[..., None, :])          # [..., K, N]
+    rows = jnp.concatenate([neg_sm, m[..., None, :]], axis=-2)  # [..., K+1, N]
+    scales = _tlev_scales(beta, l)
+    msgs = rows[..., :, None, :] * scales[:, None]           # [..., K+1, l, N]
+    ct = G.encrypt_s(key, param, s, msgs, batch=tuple(batch) + (param.k + 1, l))
+    return TGGSW(a=ct.a, b=ct.b)
+
+
+def decrypt(param: Param, s, c: TGGSW, beta: int):
+    return tglev_decrypt(
+        param, s, TGLev(a=c.a[..., -1, :, :, :], b=c.b[..., -1, :, :]), beta)
+
+
+def external_product(param: Param, beta: int, l: int, g: TGGSW, c: GLWE) -> GLWE:
+    """TGGSW ⊠ TGLWE (tggsw.rs:45-62): decompose [a | b] -> (K+1, l) digit
+    polys, contract against the key grid in one fused reduce."""
+    ring = TorusRing(param.ring.n)
+    k, n = param.k, param.ring.n
+    ab = jnp.concatenate([c.a, c.b[..., None, :]], axis=-2)   # [..., K+1, N]
+    d = tn.decompose(ab, beta, l)                             # [l, ..., K+1, N]
+    d = jnp.moveaxis(d, 0, -2)                                # [..., K+1, l, N]
+    batch = jnp.broadcast_shapes(d.shape[:-3], g.b.shape[:-3])
+    M = (k + 1) * l
+    d_flat = jnp.broadcast_to(d, batch + d.shape[-3:]).reshape(batch + (M, n))
+    gb = jnp.broadcast_to(g.b, batch + g.b.shape[-3:]).reshape(batch + (M, n))
+    out_b = ring.contract(gb, d_flat)
+    ga = jnp.broadcast_to(g.a, batch + g.a.shape[-4:]).reshape(batch + (M, k, n))
+    out_a = ring.contract(jnp.moveaxis(ga, -2, 0), d_flat)    # [k, ..., n]
+    return GLWE(a=jnp.moveaxis(out_a, 0, -2), b=out_b)
+
+
+def cmux(param: Param, beta: int, l: int, bit: TGGSW, c1: GLWE, c2: GLWE) -> GLWE:
+    """c1 + bit ⊠ (c2 - c1) (tggsw.rs:39-41)."""
+    diff = G.sub(param, c2, c1)
+    prod = external_product(param, beta, l, bit, diff)
+    return G.add(param, c1, prod)

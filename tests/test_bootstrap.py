@@ -1,0 +1,97 @@
+"""TFHE bootstrapping tests.
+
+Covers both modes of the corrected blind rotation (see bootstrap.py):
+  * reference mode: q2 = K·N, tiny-mask ciphertexts, identity over [0, t)
+    (the reference test observable, tlwe.rs:466-504, at reduced size)
+  * standard mode: q2 = 2N, UNIFORM-mask ciphertexts — the cryptographically
+    real path, exercising the full CMux chain; messages in [0, t/2)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fhe_study_tpu.arith import RingParam
+from fhe_study_tpu.arith.params import TORUS_Q
+from fhe_study_tpu.models.gfhe.glwe import Param, ERR_SIGMA
+from fhe_study_tpu.models.tfhe import tlwe, tglwe, bootstrap
+from fhe_study_tpu.utils import prng
+
+
+def test_bootstrap_reference_mode():
+    # reference tlwe.rs:466-504 at reduced size (N=64, k=1, t=16, beta=2 l=8)
+    param = Param(ERR_SIGMA, RingParam(TORUS_Q, 64), 1, 16)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = prng.split(key, 3)
+
+    table = bootstrap.compute_lookup_table(param)
+    s, _ = tglwe.new_key(k1, param)
+    s_flat = tglwe.sk_to_tlwe(s)
+    btk, s_out = bootstrap.new_bootstrapping_key(
+        k2, param, s, beta=2, l=8, beta_ks=2, l_ks=32, s_lwe_out=s_flat)
+
+    m = jnp.arange(param.t, dtype=jnp.uint64)  # every message value
+    p = tlwe.encode(param, m)
+    c = tlwe.encrypt_s(k3, param.lwe(), s_flat, p, batch=(param.t,))
+
+    out = bootstrap.bootstrap(param, btk, table, c, beta=2, l=8,
+                              beta_ks=2, l_ks=32, mode="reference")
+    rec = tlwe.decode(param, tlwe.decrypt(param.lwe(), s_out, out))
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
+
+
+def test_bootstrap_standard_mode_uniform_masks():
+    # real TFHE: uniform masks, q2=2N, full CMux chain does the work
+    n, t = 128, 8
+    param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = prng.split(key, 3)
+
+    table = bootstrap.compute_lookup_table_standard(param)
+    s, _ = tglwe.new_key(k1, param)
+    s_flat = tglwe.sk_to_tlwe(s)
+    btk, s_out = bootstrap.new_bootstrapping_key(
+        k2, param, s, beta=256, l=3, beta_ks=16, l_ks=8, s_lwe_out=s_flat)
+
+    B = 8
+    m = jnp.tile(jnp.arange(t // 2, dtype=jnp.uint64), B // (t // 2) + 1)[:B]
+    p = tlwe.encode(param, m)
+    c = tlwe.encrypt_uniform(k3, param.lwe(), s_flat, p, batch=(B,))
+
+    # sanity: the mask really is uniform (chain must do real work)
+    assert int(jnp.max(c.a)) > 1 << 60
+
+    out = bootstrap.bootstrap(param, btk, table, c, beta=256, l=3,
+                              beta_ks=16, l_ks=8, mode="standard")
+    rec = tlwe.decode(param, tlwe.decrypt(param.lwe(), s_out, out))
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
+
+
+def test_bootstrap_refreshes_noise():
+    """Output noise is independent of (larger) input noise — the point of
+    bootstrapping."""
+    n, t = 128, 8
+    param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = prng.split(key, 3)
+    table = bootstrap.compute_lookup_table_standard(param)
+    s, _ = tglwe.new_key(k1, param)
+    s_flat = tglwe.sk_to_tlwe(s)
+    btk, s_out = bootstrap.new_bootstrapping_key(
+        k2, param, s, beta=256, l=3, beta_ks=16, l_ks=8, s_lwe_out=s_flat)
+
+    # inject heavy noise (1/4 of a slot) — decryption still works pre-BS,
+    # and post-BS the phase error must be small again
+    m = jnp.asarray([1, 2, 3], dtype=jnp.uint64)
+    p = tlwe.encode(param, m)
+    noisy_p = p + jnp.uint64((1 << 64) // (8 * t))
+    c = tlwe.encrypt_uniform(k3, param.lwe(), s_flat, noisy_p, batch=(3,))
+    out = bootstrap.bootstrap(param, btk, table, c, beta=256, l=3,
+                              beta_ks=16, l_ks=8, mode="standard")
+    phase = np.asarray(tlwe.decrypt(param.lwe(), s_out, out)).astype(np.uint64)
+    ideal = np.asarray(p).astype(np.uint64)
+    d1 = phase - ideal        # wrapping uint64
+    d2 = ideal - phase
+    err = np.minimum(d1, d2)
+    # the injected offset (2^64/64) must be gone: residual < 2^54
+    assert (err < np.uint64(1 << 54)).all(), err
