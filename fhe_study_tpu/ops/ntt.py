@@ -62,8 +62,10 @@ class NttPlan:
         roots = [_pow_mod(w, _bit_reverse(i, logn), q) for i in range(n)]
         roots_inv = [pow(r, q - 2, q) for r in roots]
         self.root = w
-        self.roots = jnp.asarray(np.array(roots, dtype=np.uint64))
-        self.roots_inv = jnp.asarray(np.array(roots_inv, dtype=np.uint64))
+        # plain numpy (NOT jnp): plans are lru_cached and may be constructed
+        # inside a trace — jnp values would cache leaked tracers
+        self.roots = np.array(roots, dtype=np.uint64)
+        self.roots_inv = np.array(roots_inv, dtype=np.uint64)
         self.n_inv = pow(n, q - 2, q)
 
 
@@ -121,6 +123,76 @@ def negacyclic_mul(a, b, q: int):
     ea = ntt(a, q)
     eb = ntt(b, q)
     return intt(modops.mulmod(ea, eb, q), q)
+
+
+# ---------------------------------------------------------------------------
+# Cyclic NTT, natural order (building block of the DISTRIBUTED four-step NTT:
+# negacyclic transform = psi-twist + cyclic NTT; see parallel/ntt_sharded.py).
+# ---------------------------------------------------------------------------
+
+class CyclicPlan:
+    """Tables for a natural-order iterative cyclic NTT of size n over Z_q."""
+
+    def __init__(self, q: int, n: int, w: int | None = None):
+        assert n & (n - 1) == 0
+        self.q, self.n = q, n
+        self.w = w if w is not None else _primitive_root_of_unity(q, n)
+        logn = n.bit_length() - 1
+        self.bitrev = np.array([_bit_reverse(i, logn) for i in range(n)], np.int64)
+        # per-stage twiddles: stage s (len = 2^(s+1)) uses w^(n/len * j), j<len/2
+        # (numpy, not jnp: see NttPlan)
+        self.tw = [np.array(
+            [_pow_mod(self.w, (n // (1 << (s + 1))) * j, q) for j in range(1 << s)],
+            np.uint64) for s in range(logn)]
+        w_inv = pow(self.w, q - 2, q)
+        self.tw_inv = [np.array(
+            [_pow_mod(w_inv, (n // (1 << (s + 1))) * j, q) for j in range(1 << s)],
+            np.uint64) for s in range(logn)]
+        self.n_inv = pow(n, q - 2, q)
+
+
+@lru_cache(maxsize=None)
+def get_cyclic_plan(q: int, n: int, w: int | None = None) -> CyclicPlan:
+    """w: explicit n-th root (the four-step decomposition needs the inner
+    transforms to use powers of the OUTER root, not an arbitrary one)."""
+    return CyclicPlan(q, n, w)
+
+
+def _ntt_cyclic_stages(a, q: int, tws):
+    """Iterative DIT with bit-reversed input, natural-order output."""
+    n = a.shape[-1]
+    batch = a.shape[:-1]
+    logn = n.bit_length() - 1
+    r = a
+    for s in range(logn):
+        half = 1 << s
+        m = n // (2 * half)
+        r = r.reshape(batch + (m, 2, half))
+        u = r[..., 0, :]
+        v = modops.mulmod(r[..., 1, :], tws[s], q)
+        r = jnp.stack([modops.addmod(u, v, q), modops.submod(u, v, q)], axis=-2)
+        # interleave: results for this stage live at stride pattern handled by
+        # the reshape of the next iteration (arrays stay [m, 2, half] blocks)
+        r = r.reshape(batch + (m, 2 * half))
+    return r.reshape(batch + (n,))
+
+
+def ntt_cyclic(a, q: int, w: int | None = None):
+    """Cyclic DFT over Z_q, natural index order (X^n - 1 evaluation points)."""
+    n = a.shape[-1]
+    if n == 1:
+        return a
+    plan = get_cyclic_plan(q, n, w)
+    return _ntt_cyclic_stages(jnp.take(a, plan.bitrev, axis=-1), q, plan.tw)
+
+
+def intt_cyclic(a, q: int, w: int | None = None):
+    n = a.shape[-1]
+    if n == 1:
+        return a
+    plan = get_cyclic_plan(q, n, w)
+    r = _ntt_cyclic_stages(jnp.take(a, plan.bitrev, axis=-1), q, plan.tw_inv)
+    return modops.mulmod(r, U64(plan.n_inv), q)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,192 @@
+"""Multi-chip execution: mesh factoring + the full sharded ct-mul step.
+
+Parallelism axes exercised (SURVEY §2.6 mapping):
+  dp — ciphertext batch (pure data parallel)
+  ep — CRT/RNS prime axis of the BFV tensor (limb parallel; all_gather)
+  sp — polynomial coefficient axis (four-step NTT; all_to_all)
+  tp — key-switch gadget axis k_src (partial gadget products; psum)
+
+Pipeline parallelism (pp) is deliberately NOT used: the FHE op graph is a
+short chain of large data-parallel ops with no weight-stationary stages —
+staging it across device groups would only add bubble overhead (documented
+decision per SURVEY §2.6).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..arith import rq
+from ..arith.ring import ring_for
+from ..ops import modops, ntt
+from ..models import bfv
+from ..models.gfhe import glwe as G
+from ..utils import prng
+from . import ntt_sharded
+
+U64 = jnp.uint64
+
+
+def factor_mesh(n_devices: int) -> Mesh:
+    """Factor n_devices into a (dp, ep, sp, tp) mesh.  Powers of two feed the
+    ep/sp/tp axes first (they need >= 2 to exercise collectives), the
+    remainder goes to dp."""
+    sizes = {"dp": 1, "ep": 1, "sp": 1, "tp": 1}
+    rem = n_devices
+    for axis in ("ep", "sp", "tp"):
+        if rem % 2 == 0 and rem >= 2:
+            sizes[axis] = 2
+            rem //= 2
+    sizes["dp"] = rem
+    devs = np.array(jax.devices()[:n_devices]).reshape(
+        sizes["dp"], sizes["ep"], sizes["sp"], sizes["tp"])
+    return Mesh(devs, axis_names=("dp", "ep", "sp", "tp"))
+
+
+# -- ep: CRT prime pair sharded over devices --------------------------------
+
+def polymul_i64_crt_ep(a, b, mesh: Mesh):
+    """Exact signed negacyclic product; the two CRT primes run on separate
+    `ep` devices, reconstruction all_gathers the residues."""
+    p1, p2 = ntt.CRT_PRIMES[:2]
+    if mesh.shape["ep"] == 1:
+        return ntt.polymul_i64_crt(a, b)
+
+    def local(a, b):
+        i = jax.lax.axis_index("ep")
+        r1 = ntt.negacyclic_mul(modops.coerce_i64(a, p1),
+                                modops.coerce_i64(b, p1), p1)
+        r2 = ntt.negacyclic_mul(modops.coerce_i64(a, p2),
+                                modops.coerce_i64(b, p2), p2)
+        mine = jnp.where(i == 0, r1, r2)
+        both = jax.lax.all_gather(mine, "ep")          # [2, ..., n]
+        rr1, rr2 = both[0], both[1]
+        p1_inv_p2 = pow(p1, -1, p2)
+        d = modops.mulmod(modops.submod(rr2, rr1 % U64(p2), p2),
+                          U64(p1_inv_p2), p2)
+        v = (rr1 + U64(p1) * d).astype(jnp.int64)
+        m = p1 * p2
+        return jnp.where(v > m // 2, v - jnp.int64(m), v)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P()), out_specs=P(),
+        axis_names={"ep"}, check_vma=False,
+    )(a, b)
+
+
+# -- tp: key-switch gadget contraction with psum ----------------------------
+
+def key_switch_tp(param: G.Param, beta: int, l: int, ksk: G.KSK, ct: G.GLWE,
+                  mesh: Mesh) -> G.GLWE:
+    """GLWE key switch with the k_src gadget axis sharded over `tp`:
+    each device contracts its slice of the KSK, partial GLWEs psum over tp."""
+    ring = ring_for(param.ring)
+    k, n = param.k, param.ring.n
+    d = ring.decompose(ct.a, beta, l)       # [l, ..., k_src, n]
+    d = jnp.moveaxis(d, 0, -2)              # [..., k_src, l, n]
+    batch = ct.b.shape[:-1]
+
+    def local(d_loc, ka_loc, kb_loc):
+        ks_loc = d_loc.shape[-3]
+        M = ks_loc * l
+        d_flat = d_loc.reshape(batch + (M, n))
+        rhs_b = ring.contract(kb_loc.reshape(batch + (M, n)), d_flat)
+        ka = ka_loc.reshape(batch + (M, k, n))
+        rhs_a = ring.contract(jnp.moveaxis(ka, -2, 0), d_flat)
+        rhs_a = jnp.moveaxis(rhs_a, 0, -2)
+        # partial sums over the sharded k_src axis -> psum (mod-q correction
+        # after the raw u64 sum: each partial is already reduced mod q)
+        rhs_a = jax.lax.psum(rhs_a, "tp")
+        rhs_b = jax.lax.psum(rhs_b, "tp")
+        return rhs_a, rhs_b
+
+    nb = len(batch)
+    spec_d = P(*([None] * nb), "tp", None, None)
+    spec_ka = P(*([None] * nb), "tp", None, None, None)
+    spec_kb = P(*([None] * nb), "tp", None, None)
+    rhs_a, rhs_b = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_d, spec_ka, spec_kb),
+        out_specs=(P(), P()), axis_names={"tp"}, check_vma=False,
+    )(d, ksk.a, ksk.b)
+    # psum over u64 partials then reduce mod q
+    rhs_a = modops.coerce_u64(rhs_a, param.ring.q)
+    rhs_b = modops.coerce_u64(rhs_b, param.ring.q)
+    zero_a = ring.zeros(batch + (k,))
+    return G.GLWE(a=ring.sub(zero_a, rhs_a), b=ring.sub(ct.b, rhs_b))
+
+
+# -- the full multi-chip step ----------------------------------------------
+
+def multichip_ct_mul_step(mesh: Mesh, param: bfv.Param, ks_param: G.Param,
+                          beta: int, l: int):
+    """Returns a jitted function running, across the mesh:
+       dp: batched BFV ct×ct multiply + relinearization (fast path)
+       ep: one CRT-pair product of the tensor on separate devices
+       sp: one four-step-sharded polynomial product
+       tp: a GLWE key switch with psum'd gadget partials
+    """
+    q, n = param.ring.q, param.ring.n
+
+    def step(c1, c2, rlk, ksk, glwe_ct):
+        out = bfv.mul(param, rlk, bfv.RLWE(*c1), bfv.RLWE(*c2), fast=True)
+        ep_prod = polymul_i64_crt_ep(
+            c1[0].astype(jnp.int64)[0], c2[0].astype(jnp.int64)[0], mesh)
+        sp_prod = ntt_sharded.negacyclic_mul_sharded(
+            c1[0][0], c2[0][0], q, mesh, axis="sp")
+        ks_out = key_switch_tp(ks_param, beta, l, ksk, glwe_ct, mesh)
+        return out, ep_prod, sp_prod, ks_out
+
+    return jax.jit(step)
+
+
+def dryrun(n_devices: int):
+    """Compile + execute ONE full multi-chip step on tiny shapes, with real
+    dp/ep/sp/tp shardings, on an n_devices mesh."""
+    mesh = factor_mesh(n_devices)
+    from ..arith.params import RingParam
+    q = 2 ** 16 + 1
+    n = 64
+    param = bfv.Param(RingParam(q, n), 2, q * q)
+    ks_param = G.Param(G.ERR_SIGMA, RingParam(q, n), 4, 2)
+    beta, l = 2, 8
+    B = max(mesh.shape["dp"] * 2, 2)
+
+    key = jax.random.PRNGKey(0)
+    ks = prng.split(key, 8)
+    sk, pk = bfv.new_key(ks[0], param, batch=(B,))
+    rlk = bfv.rlk_key(ks[1], param, sk, batch=(B,))
+    m = prng.uniform_mod(ks[2], (B, n), param.t)
+    c1 = bfv.encrypt(ks[3], param, pk, m, batch=(B,))
+    c2 = bfv.encrypt(ks[4], param, pk, m, batch=(B,))
+
+    gsk, gpk = G.new_key(ks[5], ks_param)
+    gsk2, _ = G.new_key(ks[6], ks_param)
+    ksk = G.new_ksk(ks[7], ks_param, beta, l, gsk, gsk2)
+    gct = G.encrypt_s(ks[5], ks_param, gsk, G.encode(ks_param, m[0] % ks_param.t))
+
+    dp_sh = NamedSharding(mesh, P("dp"))
+    c1 = jax.tree.map(lambda x: jax.device_put(x, dp_sh), tuple(c1))
+    c2 = jax.tree.map(lambda x: jax.device_put(x, dp_sh), tuple(c2))
+
+    step = multichip_ct_mul_step(mesh, param, ks_param, beta, l)
+    out, ep_prod, sp_prod, ks_out = step(c1, c2, rlk, ksk, gct)
+    jax.block_until_ready((out, ep_prod, sp_prod, ks_out))
+
+    # sanity: the sharded step must be CORRECT, not just compile
+    from ..arith import rn
+    rec = np.asarray(bfv.decrypt(param, sk, out))
+    want = np.asarray(rn.to_rq(
+        rn.naive_poly_mul(m.astype(jnp.int64), m.astype(jnp.int64)),
+        param.t, n))
+    assert (rec == want).all(), "multichip BFV ct-mul decrypts wrong"
+    sp_want = np.asarray(rq.mul(c1[0][0], c2[0][0], q))
+    assert (np.asarray(sp_prod) == sp_want).all(), "sp-sharded NTT mismatch"
+    ep_want = np.asarray(ntt.polymul_i64_crt(
+        c1[0].astype(jnp.int64)[0], c2[0].astype(jnp.int64)[0]))
+    assert (np.asarray(ep_prod) == ep_want).all(), "ep-sharded CRT mismatch"
+    return mesh
