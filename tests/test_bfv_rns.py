@@ -1,0 +1,112 @@
+"""RNS-BFV (production/bench variant) correctness tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fhe_study_tpu.models import bfv_rns as R
+from fhe_study_tpu.arith import rn
+from fhe_study_tpu.ops import modops
+from fhe_study_tpu.utils import prng
+
+
+def _naive_pt_mul(m1, m2, t, n):
+    return rn.to_rq(rn.naive_poly_mul(m1.astype(jnp.int64), m2.astype(jnp.int64)), t, n)
+
+
+def test_fast_base_extend_exact():
+    from fhe_study_tpu.models.bfv_rns import fast_base_extend, _to_residues
+    from fhe_study_tpu.ops.primes import ntt_primes
+    src = ntt_primes(3, 30, 1 << 16)
+    dst = ntt_primes(3, 30, 1 << 16, skip=3)
+    S = src[0] * src[1] * src[2]
+    rng = np.random.default_rng(0)
+    # values away from the S boundary: v within ~2^-50·S of S is the known
+    # HPS float-correction edge (mis-extends by ±S; harmless in-scheme since
+    # Q-multiples vanish mod t after scaling — see fast_base_extend docstring)
+    vals = [int(v) % S for v in rng.integers(0, 2 ** 63, 64)] + [0, 1, S // 2]
+    x = jnp.stack([jnp.asarray([v % p for v in vals], jnp.uint64) for p in src], 0)
+    out = np.asarray(fast_base_extend(x, src, dst))
+    for j, d in enumerate(dst):
+        np.testing.assert_array_equal(out[j], [v % d for v in vals])
+
+    # centered interpretation recovers signed values
+    svals = [-5, 5, -(S // 4), S // 4, 0]
+    xs = jnp.stack([jnp.asarray([v % p for v in svals], jnp.uint64) for p in src], 0)
+    outs = np.asarray(fast_base_extend(xs, src, dst, centered=True))
+    for j, d in enumerate(dst):
+        np.testing.assert_array_equal(outs[j], [v % d for v in svals])
+
+
+def test_encrypt_decrypt():
+    param = R.RnsParam(n=256, t=64, L=3, M=4)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = prng.split(key, 3)
+    B = 8
+    sk, pk = R.new_key(k1, param, batch=(B,))
+    m = prng.uniform_mod(k2, (B, param.n), param.t)
+    c = R.encrypt(k3, param, pk, m, batch=(B,))
+    rec = R.decrypt(param, sk, c)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
+
+
+def test_add_and_pt_ops():
+    param = R.RnsParam(n=256, t=64, L=3, M=4)
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3, k4, k5 = prng.split(key, 5)
+    B = 4
+    sk, pk = R.new_key(k1, param, batch=(B,))
+    m1 = prng.uniform_mod(k2, (B, param.n), param.t)
+    m2 = prng.uniform_mod(k3, (B, param.n), param.t)
+    c1 = R.encrypt(k4, param, pk, m1, batch=(B,))
+    c2 = R.encrypt(k5, param, pk, m2, batch=(B,))
+
+    rec = R.decrypt(param, sk, R.add(param, c1, c2))
+    np.testing.assert_array_equal(np.asarray(rec),
+                                  np.asarray(modops.coerce_u64(m1 + m2, param.t)))
+
+    rec = R.decrypt(param, sk, R.add_pt(param, c1, m2))
+    np.testing.assert_array_equal(np.asarray(rec),
+                                  np.asarray(modops.coerce_u64(m1 + m2, param.t)))
+
+    rec = R.decrypt(param, sk, R.mul_pt(param, c1, m2))
+    want = _naive_pt_mul(m1, m2, param.t, param.n)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(want))
+
+
+def test_ct_mul_relin():
+    param = R.RnsParam(n=256, t=16, L=3, M=4)
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3, k4, k5, k6 = prng.split(key, 6)
+    B = 4
+    sk, pk = R.new_key(k1, param, batch=(B,))
+    rlk = R.rlk_key(k2, param, sk, batch=(B,))
+    m1 = prng.uniform_mod(k3, (B, param.n), param.t)
+    m2 = prng.uniform_mod(k4, (B, param.n), param.t)
+    c1 = R.encrypt(k5, param, pk, m1, batch=(B,))
+    c2 = R.encrypt(k6, param, pk, m2, batch=(B,))
+
+    c3 = R.mul(param, rlk, c1, c2)
+    rec = R.decrypt(param, sk, c3)
+    want = _naive_pt_mul(m1, m2, param.t, param.n)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(want))
+
+
+def test_ct_mul_depth2_with_mod_switch():
+    """(m1·m2)·m3 with a modulus drop between — noise management works."""
+    param = R.RnsParam(n=256, t=4, L=4, M=5)
+    key = jax.random.PRNGKey(3)
+    ks = prng.split(key, 8)
+    B = 2
+    sk, pk = R.new_key(ks[0], param, batch=(B,))
+    rlk = R.rlk_key(ks[1], param, sk, batch=(B,))
+    ms = [prng.uniform_mod(ks[2 + i], (B, param.n), param.t) for i in range(3)]
+    cts = [R.encrypt(ks[5 + i], param, pk, ms[i], batch=(B,)) for i in range(3)]
+
+    c12 = R.mul(param, rlk, cts[0], cts[1])
+    c123 = R.mul(param, rlk, c12, cts[2])
+    rec = R.decrypt(param, sk, c123)
+    w12 = rn.naive_poly_mul(ms[0].astype(jnp.int64), ms[1].astype(jnp.int64))
+    want = rn.to_rq(rn.naive_poly_mul(w12, ms[2].astype(jnp.int64)),
+                    param.t, param.n)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(want))
