@@ -1,0 +1,77 @@
+"""Benchmark: RNS-BFV ciphertext×ciphertext multiply (with relinearization)
+throughput at N = 2^14 on one chip — the BASELINE.json headline config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline: the north-star target is ≥10^6 ct-mults/s aggregate on a v5e-16,
+i.e. 62500/s per chip — value / 62500.
+
+Env knobs: FHE_BENCH_N, FHE_BENCH_L, FHE_BENCH_M, FHE_BENCH_B, FHE_BENCH_T,
+FHE_BENCH_ITERS (for smoke runs on CPU).
+"""
+
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from fhe_study_tpu.models import bfv_rns as R  # noqa: E402
+from fhe_study_tpu.utils import prng  # noqa: E402
+
+
+def main():
+    n = int(os.environ.get("FHE_BENCH_N", 1 << 14))
+    L = int(os.environ.get("FHE_BENCH_L", 4))
+    M = int(os.environ.get("FHE_BENCH_M", 5))
+    t = int(os.environ.get("FHE_BENCH_T", 256))
+    B = int(os.environ.get("FHE_BENCH_B", 16))
+    iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
+
+    param = R.RnsParam(n=n, t=t, L=L, M=M)
+    key = jax.random.PRNGKey(0)
+    ks = prng.split(key, 6)
+    sk, pk = R.new_key(ks[0], param)
+    rlk = R.rlk_key(ks[1], param, sk)
+    m1 = prng.uniform_mod(ks[2], (B, n), t)
+    m2 = prng.uniform_mod(ks[3], (B, n), t)
+    c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
+    c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
+
+    mul = jax.jit(lambda x0, x1, y0, y1: R.mul(param, rlk, R.CT(x0, x1),
+                                               R.CT(y0, y1)))
+    args = (c1.c0, c1.c1, c2.c0, c2.c1)
+    out = mul(*args)                      # compile + warmup
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = mul(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    # correctness spot check (don't bench a broken kernel)
+    rec = R.decrypt(param, sk, R.CT(out[0], out[1]))
+    import numpy as np
+    from fhe_study_tpu.arith import rn
+    want = rn.to_rq(rn.naive_poly_mul(m1.astype(jnp.int64),
+                                      m2.astype(jnp.int64)), t, n)
+    ok = bool((np.asarray(rec) == np.asarray(want)).all())
+
+    value = B * iters / dt
+    print(json.dumps({
+        "metric": f"bfv_rns_ctmul_n{n}_L{L}_per_sec_per_chip"
+                  + ("" if ok else "_DECRYPT_FAIL"),
+        "value": round(value, 3),
+        "unit": "ctmul/s",
+        "vs_baseline": round(value / 62500.0, 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()
