@@ -1,0 +1,238 @@
+"""Fused Pallas TPU kernel for the negacyclic NTT/INTT (q < 2^31).
+
+Why a kernel: the XLA path materializes each butterfly stage through HBM
+(log2(n) round trips).  This kernel keeps a batch tile resident in VMEM and
+runs ALL stages back-to-back on the VPU — the NTT becomes compute-bound
+instead of HBM-bound.
+
+TPU-native choices:
+  * uint32 lanes (no 64-bit ints in Mosaic).  Modular multiply is Montgomery
+    with 16-bit-limb 32x32→64 products; twiddles are pre-multiplied by
+    2^32 mod q, so data stays in the NORMAL domain end-to-end.
+  * butterfly partner j^t is realized as two `pltpu.roll`s + a select —
+    every stage is uniform elementwise work over a [rows, 128] tile, whether
+    the distance crosses sublanes (t ≥ 128) or lanes (t < 128).
+  * per-stage twiddles are one [log2(n), n] u32 table streamed into VMEM,
+    laid out so stage s is a plain row read (no gathers in the kernel).
+
+The butterfly schedule matches ops/ntt.py exactly (CT forward / GS inverse
+with bit-reversed tables, reference arith/src/ntt.rs:44-110), so outputs are
+bit-identical to the XLA path and to the Rust reference.
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import ntt as ntt_mod
+
+LANES = 128
+U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# host-side tables
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _mont32_consts(q: int):
+    assert q % 2 == 1 and q < (1 << 31)
+    nqinv = (-pow(q, -1, 1 << 32)) % (1 << 32)   # -q^{-1} mod 2^32
+    r = (1 << 32) % q
+    return nqinv, r
+
+
+@lru_cache(maxsize=None)
+def _stage_tables(q: int, n: int):
+    """[logn, n] u32 twiddle-per-element tables (Montgomery domain) for the
+    forward (CT, t: n/2 -> 1) and inverse (GS, t: 1 -> n/2) schedules, plus
+    the lane/sublane masks are implicit (recomputed in-kernel from iota)."""
+    plan = ntt_mod.get_plan(q, n)
+    logn = n.bit_length() - 1
+    fwd = np.zeros((logn, n), np.uint32)
+    inv = np.zeros((logn, n), np.uint32)
+    _, r1 = _mont32_consts(q)
+    to_mont = lambda x: (int(x) << 32) % q  # noqa: E731
+    # forward: stage s has m = 2^s groups, t = n >> (s+1); element j belongs
+    # to group g = j >> (log2(2t)); twiddle S = roots[m + g] for BOTH halves
+    for s in range(logn):
+        m = 1 << s
+        t = n >> (s + 1)
+        g = np.arange(n) >> ((2 * t).bit_length() - 1)
+        S = plan.roots[m + g]
+        fwd[s] = np.array([to_mont(x) for x in S], np.uint32)
+    # inverse: stage s has t = 2^s, m = n >> (s+1)
+    for s in range(logn):
+        t = 1 << s
+        m = n >> (s + 1)
+        g = np.arange(n) >> (s + 1)
+        S = plan.roots_inv[m + g]
+        inv[s] = np.array([to_mont(x) for x in S], np.uint32)
+    n_inv_mont = np.uint32((pow(n, q - 2, q) << 32) % q)
+    return fwd, inv, n_inv_mont
+
+
+# ---------------------------------------------------------------------------
+# in-kernel arithmetic (uint32)
+# ---------------------------------------------------------------------------
+
+def _mul32_wide(a, b):
+    """32x32 -> (hi, lo) via 16-bit limbs, all in u32."""
+    mask = U32(0xFFFF)
+    a0 = a & mask
+    a1 = a >> U32(16)
+    b0 = b & mask
+    b1 = b >> U32(16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> U32(16)) + (p01 & mask) + (p10 & mask)
+    lo = (mid << U32(16)) | (p00 & mask)
+    hi = p11 + (p01 >> U32(16)) + (p10 >> U32(16)) + (mid >> U32(16))
+    return hi, lo
+
+
+def _mont_mul(a, b_mont, q: int, nqinv: int):
+    """a (normal) * b_mont (Montgomery) mod q -> normal domain."""
+    hi, lo = _mul32_wide(a, b_mont)
+    m = lo * U32(nqinv)
+    mh, _ = _mul32_wide(m, U32(q))
+    carry = (lo != U32(0)).astype(U32)
+    t = hi + mh + carry
+    return jnp.where(t >= U32(q), t - U32(q), t)
+
+
+def _addmod(a, b, q: int):
+    s = a + b
+    return jnp.where(s >= U32(q), s - U32(q), s)
+
+
+def _submod(a, b, q: int):
+    return jnp.where(a >= b, a - b, (U32(q) - b) + a)
+
+
+def _roll(x, shift: int, axis: int):
+    """Static circular shift via slice+concat (robust in Mosaic & interpret).
+    shift=-r: element j takes x[j+r]."""
+    r = (-shift) % x.shape[axis]
+    if r == 0:
+        return x
+    lo = jax.lax.slice_in_dim(x, r, x.shape[axis], axis=axis)
+    hi = jax.lax.slice_in_dim(x, 0, r, axis=axis)
+    return jax.lax.concatenate([lo, hi], dimension=axis)
+
+
+def _swap_xor_t(x, t: int, rows: int):
+    """x: [B, rows, 128]; return x[..., j ^ t] for element index j.
+    (Wrap-around elements land only on masked-out positions.)"""
+    if t >= LANES:
+        r = t // LANES
+        down = _roll(x, -r, 1)          # x[row + r]
+        up = _roll(x, r, 1)             # x[row - r]
+        row_id = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        first = (row_id // r) % 2 == 0
+        return jnp.where(first, down, up)
+    down = _roll(x, -t, 2)
+    up = _roll(x, t, 2)
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    first = (lane_id // t) % 2 == 0
+    return jnp.where(first, down, up)
+
+
+def _first_half_mask(shape, t: int):
+    if t >= LANES:
+        r = t // LANES
+        row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        return (row_id // r) % 2 == 0
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return (lane_id // t) % 2 == 0
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _ntt_kernel(x_ref, tw_ref, o_ref, *, q, n, inverse, nqinv, n_inv_mont):
+    rows = n // LANES
+    x = x_ref[...].reshape(x_ref.shape[0], rows, LANES)
+    logn = n.bit_length() - 1
+    for s in range(logn):
+        t = (n >> (s + 1)) if not inverse else (1 << s)
+        tw = tw_ref[s, :].reshape(1, rows, LANES)
+        y = _swap_xor_t(x, t, rows)
+        first = _first_half_mask(x.shape, t)
+        if not inverse:
+            # CT: out = first ? x + S*y : y - S*x
+            sy = _mont_mul(y, tw, q, nqinv)
+            sx = _mont_mul(x, tw, q, nqinv)
+            x = jnp.where(first, _addmod(x, sy, q), _submod(y, sx, q))
+        else:
+            # GS: out = first ? x + y : S*(y - x)
+            diff = _submod(y, x, q)
+            x = jnp.where(first, _addmod(x, y, q),
+                          _mont_mul(diff, tw, q, nqinv))
+    if inverse:
+        x = _mont_mul(x, jnp.full_like(x, n_inv_mont), q, nqinv)
+    o_ref[...] = x.reshape(x_ref.shape[0], n)
+
+
+def _build_call(q: int, n: int, inverse: bool, block_b: int, interpret: bool):
+    nqinv, _ = _mont32_consts(q)
+    fwd, inv, n_inv_mont = _stage_tables(q, n)
+    tw = inv if inverse else fwd
+    logn = n.bit_length() - 1
+    kern = partial(_ntt_kernel, q=q, n=n, inverse=inverse, nqinv=int(nqinv),
+                   n_inv_mont=int(n_inv_mont))
+
+    def call(x):
+        B = x.shape[0]
+        grid = (B // block_b,)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((B, n), jnp.uint32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_b, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((logn, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_b, n), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, jnp.asarray(tw))
+
+    return call
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def ntt_u32(x, q: int, inverse: bool = False, block_b: int | None = None,
+            interpret: bool | None = None):
+    """Negacyclic NTT/INTT of u64-or-u32 [..., n] (values < q < 2^31) through
+    the fused Pallas kernel.  Returns the same dtype as the input."""
+    assert q < (1 << 31)
+    n = x.shape[-1]
+    assert n >= LANES and n % LANES == 0
+    orig_dtype = x.dtype
+    batch = x.shape[:-1]
+    xb = x.reshape((-1, n)).astype(jnp.uint32)
+    B = xb.shape[0]
+    if block_b is None:
+        block_b = max(1, min(B, (4 << 20) // (n * 4)))
+    while B % block_b:
+        block_b -= 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    out = _build_call(q, n, inverse, block_b, interpret)(xb)
+    return out.reshape(batch + (n,)).astype(orig_dtype)
