@@ -148,6 +148,25 @@ def to_r(a):
     return a.astype(jnp.int64)
 
 
+# -- matrix helpers (reference ring_nq.rs:363-399 / matrix.rs:16-100) -------
+
+def matrix_vec_product(m, v, q: int):
+    """[..., r, c] x [..., c] -> [..., r] over Z_q (sum of mulmods — the
+    reference's matrix_vec_product; MXU-unfriendly u64, so mul+reduce)."""
+    prod = modops.mulmod(m, v[..., None, :], q)       # each < q < 2^32
+    return modops.coerce_u64(jnp.sum(prod, axis=-1), q)
+
+
+def matrix_transpose(m):
+    return jnp.swapaxes(m, -1, -2)
+
+
+def matrix_mul(a, b, q: int):
+    """[..., r, k] x [..., k, c] -> [..., r, c] over Z_q."""
+    prod = modops.mulmod(a[..., :, :, None], b[..., None, :, :], q)
+    return modops.coerce_u64(jnp.sum(prod, axis=-2), q)
+
+
 # -- pretty printer (host; golden-string tests, ring_nq.rs:308-345) ---------
 
 def to_string(a, q: int, n: int) -> str:

@@ -126,6 +126,11 @@ def invmod_prime(a, q: int):
     return powmod(a, q - 2, q)
 
 
+def divmod_prime(a, b, q: int):
+    """a / b = a * b^-1 mod q (q prime; reference zq.rs:329-337)."""
+    return mulmod(a, invmod_prime(b, q), q)
+
+
 # ---------------------------------------------------------------------------
 # mod switch / scaled rounding  (reference zq.rs:133-138)
 # ---------------------------------------------------------------------------

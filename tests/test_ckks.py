@@ -27,6 +27,29 @@ def test_encode_decode():
     np.testing.assert_array_equal(np.round(z2.imag), z.imag)
 
 
+def test_encoder_equals_vandermonde_solve():
+    """The FFT encoder computes EXACTLY what the reference's
+    projection + Vandermonde linear solve computes (encoder.rs:57-99):
+    build V_{ji} = w^{(2j+1)i}, run the reference pipeline with numpy's
+    solver, compare rounded coefficients."""
+    n, delta, t = 16, 512.0, 8
+    rng = np.random.default_rng(42)
+    enc = Encoder(n, delta)
+    z = _rand_z(rng, (), n // 2, t)
+
+    w = np.exp(2j * np.pi / (2 * n))
+    V = np.array([[w ** ((2 * j + 1) * i) for i in range(n)] for j in range(n)])
+    expanded = np.concatenate([z, np.conj(z[::-1])]) * delta
+    # projection onto the rows of V^T (columns of V), real part only
+    zp = np.array([np.real(np.vdot(V[:, i], expanded)) / n for i in range(n)])
+    discretized = V @ zp
+    alpha = np.linalg.solve(V, discretized)
+    want = np.round(alpha.real).astype(np.int64)
+
+    got = enc.encode(z)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_encrypt_decrypt():
     # reference ckks/src/lib.rs:125-161 (n=32, t=50, delta=512)
     n, t, delta = 32, 50, 512
