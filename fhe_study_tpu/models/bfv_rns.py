@@ -10,15 +10,17 @@ with floating-point sign correction (eprint 2018/117's technique), and
 RNS-gadget relinearization (no p·q extension).
 
 Residue layout: every polynomial is [L, ..., N] u64 with the LIMB axis
-leading — the natural `ep` sharding axis (limbs are independent except at
-base extension / decrypt, which reduce over limbs).
+leading — the natural `ep` sharding axis, and the leading axis of the
+MULTI-PRIME NTT (`ops/ntt.py::ntt_multi`), which runs all primes through one
+fused stage chain (small HLO graphs, big VPU ops).
 
 Divergences from the reference (documented, production-motivated):
   * scaling uses floor instead of round-half-away (≤1 ulp noise at Q≈2^240)
   * relinearization = RNS gadget (per-limb digits), not 2021/204's p·q lift
 """
 
-from dataclasses import dataclass, field
+import math
+from dataclasses import dataclass
 from functools import lru_cache
 from typing import NamedTuple
 
@@ -26,10 +28,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..arith.params import RingParam
 from ..ops import modops, ntt
+from ..ops.ntt import ntt_multi, intt_multi, mulmod_v, _qvec, _addmod_v, _submod_v
 from ..ops.primes import ntt_primes
 from ..utils import prng
+from ..utils.rounding import round_half_away
 
 ERR_SIGMA = 3.2
 U64 = jnp.uint64
@@ -53,8 +56,7 @@ class RnsParam:
 
 
 class _Basis:
-    """Host-precomputed CRT data for one prime basis (plain numpy/int —
-    lru_cached, so no jnp values here)."""
+    """Host-precomputed CRT data for one prime basis (numpy only — cached)."""
 
     def __init__(self, primes):
         self.primes = tuple(primes)
@@ -62,8 +64,10 @@ class _Basis:
         for p in self.primes:
             self.prod *= p
         self.hat = [self.prod // p for p in self.primes]           # Q̂_i
-        self.hat_inv = [pow(h, -1, p) for h, p in zip(self.hat, self.primes)]
+        self.hat_inv = np.array([pow(h, -1, p) for h, p in
+                                 zip(self.hat, self.primes)], np.uint64)
         self.inv_f = np.array([1.0 / p for p in self.primes])
+        self.pv = np.array(self.primes, np.uint64)
 
 
 @lru_cache(maxsize=None)
@@ -73,7 +77,7 @@ def _basis(primes: tuple) -> _Basis:
 
 @lru_cache(maxsize=None)
 def _ext_table(src: tuple, dst: tuple):
-    """[len(src), len(dst)] table of (S/ s_i) mod d_j, plus S mod d_j."""
+    """[Ls, Ld] table (S/s_i) mod d_j, and [Ld] S mod d_j."""
     b = _basis(src)
     tab = np.array([[h % d for d in dst] for h in b.hat], np.uint64)
     smod = np.array([b.prod % d for d in dst], np.uint64)
@@ -81,15 +85,17 @@ def _ext_table(src: tuple, dst: tuple):
 
 
 def _to_residues(x, primes):
-    """int64/uint64 [..., n] -> [L, ..., n] residues."""
-    return jnp.stack([modops.coerce_i64(jnp.asarray(x, jnp.int64), p)
-                      for p in primes], axis=0)
+    """int64 [..., n] -> [L, ..., n] residues (vectorized over primes)."""
+    x = jnp.asarray(x, jnp.int64)[None, ...]
+    pv = jnp.asarray(np.array(primes, np.int64)).reshape((len(primes),) +
+                                                         (1,) * (x.ndim - 1))
+    return (jnp.mod(jnp.mod(x, pv) + pv, pv)).astype(jnp.uint64)
 
 
 def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
-    """HPS fast base conversion: x [Ls, ..., n] residues -> residues in dst.
+    """HPS fast base conversion: x [Ls, ..., n] residues -> [Ld, ..., n].
 
-    centered=False: value v interpreted in [0, S)   -> α = floor(Σ y_i/s_i)
+    centered=False: value v interpreted in [0, S)      -> α = floor(Σ y_i/s_i)
     centered=True : value v interpreted in (−S/2, S/2) -> α = round(Σ y_i/s_i)
     (the tensor's negacyclic folds produce SIGNED values; the centered
     interpretation recovers them exactly — BEHZ's signed-representative
@@ -99,19 +105,21 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     t/Q scaling and vanish mod t at decryption.)"""
     b = _basis(src)
     tab, smod = _ext_table(src, dst)
-    ys = [modops.mulmod(x[i], U64(b.hat_inv[i]), src[i])
-          for i in range(len(src))]                                # y_i < s_i
-    alpha_f = sum(y.astype(jnp.float64) * b.inv_f[i] for i, y in enumerate(ys))
+    sv = _qvec(src, x.ndim)
+    hi = jnp.asarray(b.hat_inv).reshape(sv.shape)
+    ys = mulmod_v(x, hi, sv)                                   # [Ls, ..., n]
+    invf = jnp.asarray(b.inv_f).reshape(sv.shape)
+    alpha_f = jnp.sum(ys.astype(jnp.float64) * invf, axis=0)   # [..., n]
     alpha = jnp.floor(alpha_f + (0.5 if centered else 0.0)).astype(jnp.uint64)
-    outs = []
-    for j, d in enumerate(dst):
-        acc = jnp.zeros_like(x[0])
-        for i in range(len(src)):
-            acc = acc + modops.mulmod(ys[i] % U64(d), U64(int(tab[i, j])), d)
-        acc = acc % U64(d)
-        corr = modops.mulmod(alpha % U64(d), U64(int(smod[j])), d)
-        outs.append(modops.submod(acc, corr, d))
-    return jnp.stack(outs, axis=0)
+    # out_j = Σ_i (y_i · tab[i,j]) − α·S   (mod d_j), vectorized over j
+    dv = _qvec(dst, x.ndim)
+    tabj = jnp.asarray(tab)                                    # [Ls, Ld]
+    tabj = tabj.reshape((len(src), len(dst)) + (1,) * (x.ndim - 1))
+    prods = (ys[:, None, ...] * tabj) % dv[None, ...]          # y<2^31·t<2^32 ✓
+    acc = jnp.sum(prods, axis=0) % dv                          # [Ld, ..., n]
+    smodv = jnp.asarray(smod).reshape(dv.shape)
+    corr = mulmod_v(alpha[None, ...] % dv, smodv, dv)
+    return _submod_v(acc, corr, dv)
 
 
 class SecretKey(NamedTuple):
@@ -124,8 +132,7 @@ class PublicKey(NamedTuple):
 
 
 class RLK(NamedTuple):
-    """RNS-gadget relin key: row i encrypts s^2·(Q̂_i·Q̂_i^{-1} mod Q).
-    Stored in the NTT domain: [L_rows, L_primes, ..., N]."""
+    """RNS-gadget relin key, NTT domain: [L_rows, L_primes, ..., N]."""
     b: jax.Array
     a: jax.Array
 
@@ -135,60 +142,56 @@ class CT(NamedTuple):
     c1: jax.Array
 
 
-def _ntt_all(x, primes):
-    return jnp.stack([ntt.ntt(x[i], p) for i, p in enumerate(primes)], 0)
-
-
-def _intt_all(x, primes):
-    return jnp.stack([ntt.intt(x[i], p) for i, p in enumerate(primes)], 0)
-
-
 # -- keys -------------------------------------------------------------------
 
 def new_key(key, param: RnsParam, batch=()):
     qs, ps = param.qs, param.ps
+    both = qs + ps
     k_s, k_a, k_e = prng.split(key, 3)
     s = prng.binary(k_s, tuple(batch) + (param.n,)).astype(jnp.int64)
-    s_res = _to_residues(s, qs + ps)
-    s_evals = jnp.stack([ntt.ntt(s_res[i], p) for i, p in enumerate(qs + ps)], 0)
+    s_evals = ntt_multi(_to_residues(s, both), both)
     a = jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i),
                                     tuple(batch) + (param.n,), q)
                    for i, q in enumerate(qs)], 0)
-    e = prng.gaussian_int(k_e, tuple(batch) + (param.n,), ERR_SIGMA)
-    e_res = _to_residues(e, qs)
-    b = jnp.stack([
-        modops.submod(e_res[i],
-                      ntt.intt(modops.mulmod(ntt.ntt(a[i], q), s_evals[i], q), q),
-                      q)
-        for i, q in enumerate(qs)], 0)
+    e_res = _to_residues(prng.gaussian_int(k_e, tuple(batch) + (param.n,),
+                                           ERR_SIGMA), qs)
+    qv = _qvec(qs, a.ndim)
+    ea = ntt_multi(a, qs)
+    a_s = intt_multi(mulmod_v(ea, s_evals[: param.L], qv), qs)
+    b = _submod_v(e_res, a_s, qv)
     return SecretKey(s_evals), PublicKey(b=b, a=a)
 
 
 def rlk_key(key, param: RnsParam, sk: SecretKey, batch=()):
-    """Row i: (-(a_i·s + e_i) + s^2·g_i, a_i) mod Q, g_i the RNS gadget."""
+    """Row i: (-(a_i·s + e_i) + s^2·g_i, a_i) mod Q, g_i = Q̂_i·[Q̂_i^{-1}]_{q_i}
+    the RNS gadget.  All L rows built in one batched pass."""
     qs = param.qs
+    L = param.L
     bq = _basis(qs)
     k_a, k_e = prng.split(key, 2)
-    rows_b, rows_a = [], []
-    for i in range(param.L):
-        g_i = bq.hat[i] * bq.hat_inv[i]          # mod Q, big int
-        a = jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i * param.L + j),
-                                        tuple(batch) + (param.n,), q)
-                       for j, q in enumerate(qs)], 0)
-        e = _to_residues(prng.gaussian_int(jax.random.fold_in(k_e, i),
-                                           tuple(batch) + (param.n,), ERR_SIGMA), qs)
-        b_i, a_i = [], []
-        for j, q in enumerate(qs):
-            ea = ntt.ntt(a[j], q)
-            as_ = modops.mulmod(ea, sk.s_evals[j], q)
-            s2 = modops.mulmod(sk.s_evals[j], sk.s_evals[j], q)
-            s2g = modops.mulmod(s2, U64(g_i % q), q)
-            e_ev = ntt.ntt(e[j], q)
-            b_i.append(modops.submod(modops.addmod(s2g, e_ev, q), as_, q))
-            a_i.append(ea)
-        rows_b.append(jnp.stack(b_i, 0))
-        rows_a.append(jnp.stack(a_i, 0))
-    return RLK(b=jnp.stack(rows_b, 0), a=jnp.stack(rows_a, 0))
+    # a: [L_rows, L_primes, batch..., n]
+    a = jnp.stack([
+        jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i * L + j),
+                                    tuple(batch) + (param.n,), q)
+                   for j, q in enumerate(qs)], 0)
+        for i in range(L)], 0)
+    e = jnp.stack([
+        _to_residues(prng.gaussian_int(jax.random.fold_in(k_e, i),
+                                       tuple(batch) + (param.n,), ERR_SIGMA), qs)
+        for i in range(L)], 0)
+    qv = _qvec(qs, a.ndim - 1)
+    sq = sk.s_evals[:L]
+    s2 = mulmod_v(sq, sq, qv)                                  # NTT(s²)
+    # gadget residues g_i mod q_j  -> [L_rows, L_primes]
+    g = np.array([[ (bq.hat[i] * int(bq.hat_inv[i])) % q for q in qs]
+                  for i in range(L)], np.uint64)
+    gv = jnp.asarray(g).reshape((L, L) + (1,) * (a.ndim - 2))
+    ea = jnp.stack([ntt_multi(a[i], qs) for i in range(L)], 0)
+    as_ = mulmod_v(ea, sq[None], qv[None])
+    s2g = mulmod_v(s2[None], gv, qv[None])
+    ee = jnp.stack([ntt_multi(e[i], qs) for i in range(L)], 0)
+    b = _submod_v(_addmod_v(s2g, ee, qv[None]), as_, qv[None])
+    return RLK(b=b, a=ea)
 
 
 # -- encrypt / decrypt ------------------------------------------------------
@@ -205,65 +208,57 @@ def encrypt(key, param: RnsParam, pk: PublicKey, m, batch=()):
                                         ERR_SIGMA), qs)
     e1 = _to_residues(prng.gaussian_int(k_e1, tuple(batch) + (param.n,),
                                         ERR_SIGMA), qs)
-    m = jnp.asarray(m, jnp.int64)
-    c0, c1 = [], []
-    for i, q in enumerate(qs):
-        eu = ntt.ntt(u_res[i], q)
-        dm = modops.mulmod(modops.coerce_i64(m, q), U64(delta % q), q)
-        c0.append(modops.addmod(
-            modops.addmod(ntt.intt(modops.mulmod(ntt.ntt(pk.b[i], q), eu, q), q),
-                          e0[i], q), dm, q))
-        c1.append(modops.addmod(
-            ntt.intt(modops.mulmod(ntt.ntt(pk.a[i], q), eu, q), q), e1[i], q))
-    return CT(jnp.stack(c0, 0), jnp.stack(c1, 0))
+    qv = _qvec(qs, u_res.ndim)
+    dm = mulmod_v(_to_residues(jnp.asarray(m, jnp.int64), qs),
+                  jnp.asarray(np.array([delta % q for q in qs], np.uint64)
+                              ).reshape(qv.shape), qv)
+    eu = ntt_multi(u_res, qs)
+    c0 = _addmod_v(_addmod_v(
+        intt_multi(mulmod_v(ntt_multi(pk.b, qs), eu, qv), qs), e0, qv), dm, qv)
+    c1 = _addmod_v(
+        intt_multi(mulmod_v(ntt_multi(pk.a, qs), eu, qv), qs), e1, qv)
+    return CT(c0, c1)
 
 
 def decrypt(param: RnsParam, sk: SecretKey, c: CT):
     """m = round(t·x/Q) mod t via per-limb HPS accumulation (no big ints)."""
     qs = param.qs
     bq = _basis(qs)
-    xs = []
-    for i, q in enumerate(qs):
-        cs = modops.addmod(
-            c.c0[i],
-            ntt.intt(modops.mulmod(ntt.ntt(c.c1[i], q), sk.s_evals[i], q), q), q)
-        xs.append(modops.mulmod(cs, U64(bq.hat_inv[i]), q))      # y_i
-    v = sum(x.astype(jnp.float64) * (param.t * bq.inv_f[i])
-            for i, x in enumerate(xs))
-    from ..utils.rounding import round_half_away
+    qv = _qvec(qs, c.c0.ndim)
+    cs = _addmod_v(
+        c.c0,
+        intt_multi(mulmod_v(ntt_multi(c.c1, qs), sk.s_evals[: param.L], qv), qs),
+        qv)
+    ys = mulmod_v(cs, jnp.asarray(bq.hat_inv).reshape(qv.shape), qv)
+    wf = jnp.asarray(param.t * bq.inv_f).reshape(qv.shape)
+    v = jnp.sum(ys.astype(jnp.float64) * wf, axis=0)
     return modops.coerce_i64(round_half_away(v), param.t)
 
 
 # -- linear ops -------------------------------------------------------------
 
 def add(param: RnsParam, x: CT, y: CT) -> CT:
-    qs = param.qs
-    c0 = jnp.stack([modops.addmod(x.c0[i], y.c0[i], q) for i, q in enumerate(qs)], 0)
-    c1 = jnp.stack([modops.addmod(x.c1[i], y.c1[i], q) for i, q in enumerate(qs)], 0)
-    return CT(c0, c1)
+    qv = _qvec(param.qs, x.c0.ndim)
+    return CT(_addmod_v(x.c0, y.c0, qv), _addmod_v(x.c1, y.c1, qv))
 
 
 def add_pt(param: RnsParam, x: CT, m) -> CT:
     qs = param.qs
     delta = _basis(qs).prod // param.t
-    m = jnp.asarray(m, jnp.int64)
-    c0 = jnp.stack([
-        modops.addmod(x.c0[i],
-                      modops.mulmod(modops.coerce_i64(m, q), U64(delta % q), q), q)
-        for i, q in enumerate(qs)], 0)
-    return CT(c0, x.c1)
+    qv = _qvec(qs, x.c0.ndim)
+    dm = mulmod_v(_to_residues(jnp.asarray(m, jnp.int64), qs),
+                  jnp.asarray(np.array([delta % q for q in qs], np.uint64)
+                              ).reshape(qv.shape), qv)
+    return CT(_addmod_v(x.c0, dm, qv), x.c1)
 
 
 def mul_pt(param: RnsParam, x: CT, m) -> CT:
-    """ciphertext × plaintext polynomial (unscaled constant)."""
     qs = param.qs
-    m = jnp.asarray(m, jnp.int64)
-    c0, c1 = [], []
-    for i, q in enumerate(qs):
-        em = ntt.ntt(modops.coerce_i64(m, q), q)
-        c0.append(ntt.intt(modops.mulmod(ntt.ntt(x.c0[i], q), em, q), q))
-        c1.append(ntt.intt(modops.mulmod(ntt.ntt(x.c1[i], q), em, q), q))
-    return CT(jnp.stack(c0, 0), jnp.stack(c1, 0))
+    qv = _qvec(qs, x.c0.ndim)
+    em = ntt_multi(_to_residues(jnp.asarray(m, jnp.int64), qs), qs)
+    c0 = intt_multi(mulmod_v(ntt_multi(x.c0, qs), em, qv), qs)
+    c1 = intt_multi(mulmod_v(ntt_multi(x.c1, qs), em, qv), qs)
+    return CT(c0, c1)
 
 
 # -- multiplication ---------------------------------------------------------
@@ -273,64 +268,53 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     qs, ps = param.qs, param.ps
     both = qs + ps
     # capacity: |t·v| < t·n·Q^2 must fit in QP/2, and |r| < t·n·Q in P/2
-    import math
     q_bits = sum(math.log2(q) for q in qs)
     p_bits = sum(math.log2(p) for p in ps)
     need_p = math.log2(param.t) + math.log2(param.n) + q_bits + 2
     assert p_bits > need_p and param.t <= (1 << 22), \
         f"P basis too small: {p_bits:.0f} bits, need > {need_p:.0f}"
-    # 1. extend all four polys to the P basis
-    parts = {}
-    for name, poly in (("x0", x.c0), ("x1", x.c1), ("y0", y.c0), ("y1", y.c1)):
-        ext = fast_base_extend(poly, qs, ps)
-        parts[name] = jnp.concatenate([poly, ext], axis=0)    # [L+M, ..., n]
-    # 2. per-prime NTT products
-    d0, d1, d2 = [], [], []
-    for i, p in enumerate(both):
-        ex0 = ntt.ntt(parts["x0"][i], p)
-        ex1 = ntt.ntt(parts["x1"][i], p)
-        ey0 = ntt.ntt(parts["y0"][i], p)
-        ey1 = ntt.ntt(parts["y1"][i], p)
-        d0.append(ntt.intt(modops.mulmod(ex0, ey0, p), p))
-        d1.append(ntt.intt(modops.addmod(modops.mulmod(ex0, ey1, p),
-                                         modops.mulmod(ex1, ey0, p), p), p))
-        d2.append(ntt.intt(modops.mulmod(ex1, ey1, p), p))
+    # 1. extend all four polys to the P basis; transform once per prime
+    bv = _qvec(both, x.c0.ndim)
+    ext = lambda poly: ntt_multi(  # noqa: E731
+        jnp.concatenate([poly, fast_base_extend(poly, qs, ps)], axis=0), both)
+    ex0, ex1, ey0, ey1 = ext(x.c0), ext(x.c1), ext(y.c0), ext(y.c1)
+    d0 = intt_multi(mulmod_v(ex0, ey0, bv), both)
+    d1 = intt_multi(_addmod_v(mulmod_v(ex0, ey1, bv),
+                              mulmod_v(ex1, ey0, bv), bv), both)
+    d2 = intt_multi(mulmod_v(ex1, ey1, bv), both)
+    # 2. r = floor(t·v/Q): [w]_Q is the UNSIGNED remainder (w − [w]_Q =
+    # Q·floor(w/Q), exact for signed w too) -> extend with the [0,Q)
+    # interpretation; r is signed & small -> centered extension back to Q
+    Q = _basis(qs).prod
+    tq = jnp.asarray(np.array([param.t % q for q in qs], np.uint64))
+    tp = jnp.asarray(np.array([param.t % p for p in ps], np.uint64))
+    qinv_p = jnp.asarray(np.array([pow(Q, -1, p) for p in ps], np.uint64))
+    qv = _qvec(qs, x.c0.ndim)
+    pv = _qvec(ps, x.c0.ndim)
     out = []
-    # 3. scale: r = floor(t·v/Q) computed in P, extended back to Q
     for d in (d0, d1, d2):
-        d = jnp.stack(d, 0)
-        w_q = jnp.stack([modops.mulmod(d[i], U64(param.t % q), q)
-                         for i, q in enumerate(qs)], 0)
-        w_p = jnp.stack([modops.mulmod(d[param.L + j], U64(param.t % p), p)
-                         for j, p in enumerate(ps)], 0)
-        # [w]_Q is the UNSIGNED remainder (w − [w]_Q = Q·floor(w/Q), exact
-        # for signed w too), so its extension uses the [0,Q) interpretation;
-        # r = floor(w/Q) is signed and small -> centered extension back to Q
+        w_q = mulmod_v(d[: param.L], tq.reshape(qv.shape), qv)
+        w_p = mulmod_v(d[param.L:], tp.reshape(pv.shape), pv)
         wq_in_p = fast_base_extend(w_q, qs, ps)
-        Q = _basis(qs).prod
-        r_p = jnp.stack([
-            modops.mulmod(modops.submod(w_p[j], wq_in_p[j], p),
-                          U64(pow(Q, -1, p)), p)
-            for j, p in enumerate(ps)], 0)
+        r_p = mulmod_v(_submod_v(w_p, wq_in_p, pv), qinv_p.reshape(pv.shape), pv)
         out.append(fast_base_extend(r_p, ps, qs, centered=True))
     return out
 
 
 def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
-    """RNS-gadget relin: digits are c2's own limb residues."""
+    """RNS-gadget relin: digits are c2's own limb residues (broadcast to all
+    primes), contracted against the key rows in the NTT domain."""
     qs = param.qs
-    r0, r1 = [], []
-    for j, q in enumerate(qs):
-        acc0 = jnp.zeros_like(c0[j])
-        acc1 = jnp.zeros_like(c0[j])
-        for i in range(param.L):
-            d_i = c2[i] % U64(q)                 # digit i reduced mod q_j
-            ed = ntt.ntt(d_i, q)
-            acc0 = acc0 + modops.mulmod(ed, rlk.b[i, j], q)
-            acc1 = acc1 + modops.mulmod(ed, rlk.a[i, j], q)
-        r0.append(modops.addmod(c0[j], ntt.intt(acc0 % U64(q), q), q))
-        r1.append(modops.addmod(c1[j], ntt.intt(acc1 % U64(q), q), q))
-    return CT(jnp.stack(r0, 0), jnp.stack(r1, 0))
+    L = param.L
+    qv = _qvec(qs, c0.ndim)
+    # digits [L_rows, L_primes, ..., n]: d_i mod q_j
+    d = c2[:, None, ...] % qv[None, ...]
+    ed = jnp.stack([ntt_multi(d[i], qs) for i in range(L)], 0)
+    acc0 = jnp.sum(mulmod_v(ed, rlk.b, qv[None]), axis=0) % qv
+    acc1 = jnp.sum(mulmod_v(ed, rlk.a, qv[None]), axis=0) % qv
+    r0 = _addmod_v(c0, intt_multi(acc0, qs), qv)
+    r1 = _addmod_v(c1, intt_multi(acc1, qs), qv)
+    return CT(r0, r1)
 
 
 def mul(param: RnsParam, rlk: RLK, x: CT, y: CT) -> CT:
@@ -343,11 +327,10 @@ def mod_switch_drop(param: RnsParam, c: CT):
     modulus-switch noise-management step (returns ct under L-1 primes)."""
     qs = param.qs
     last = qs[-1]
-    c0, c1 = [], []
-    for i, q in enumerate(qs[:-1]):
-        inv = U64(pow(last, -1, q))
-        c0.append(modops.mulmod(
-            modops.submod(c.c0[i], c.c0[-1] % U64(q), q), inv, q))
-        c1.append(modops.mulmod(
-            modops.submod(c.c1[i], c.c1[-1] % U64(q), q), inv, q))
-    return CT(jnp.stack(c0, 0), jnp.stack(c1, 0))
+    rest = qs[:-1]
+    qv = _qvec(rest, c.c0.ndim)
+    inv = jnp.asarray(np.array([pow(last, -1, q) for q in rest], np.uint64)
+                      ).reshape(qv.shape)
+    c0 = mulmod_v(_submod_v(c.c0[:-1], c.c0[-1:] % qv, qv), inv, qv)
+    c1 = mulmod_v(_submod_v(c.c1[:-1], c.c1[-1:] % qv, qv), inv, qv)
+    return CT(c0, c1)

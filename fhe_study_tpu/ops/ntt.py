@@ -126,6 +126,89 @@ def negacyclic_mul(a, b, q: int):
 
 
 # ---------------------------------------------------------------------------
+# Multi-modulus NTT: all RNS primes in ONE pass (vector modulus broadcast).
+# Collapses the per-prime Python loops of the RNS schemes into a single
+# fused stage chain — ~L× smaller HLO graphs and bigger VPU ops.
+# Requires every prime < 2^32 (u64 products exact).
+# ---------------------------------------------------------------------------
+
+def _qvec(qs, ndim):
+    return jnp.asarray(np.array(qs, np.uint64)).reshape((len(qs),) + (1,) * (ndim - 1))
+
+
+def _addmod_v(a, b, qv):
+    s = a + b
+    return jnp.where(s >= qv, s - qv, s)
+
+
+def _submod_v(a, b, qv):
+    return jnp.where(a >= b, a - b, (qv - b) + a)
+
+
+def mulmod_v(a, b, qv):
+    """(a*b) mod broadcastable modulus array; operands' product must be <2^64."""
+    return (a * b) % qv
+
+
+@lru_cache(maxsize=None)
+def _multi_tables(qs: tuple, n: int):
+    assert all(q < (1 << 32) for q in qs)
+    roots = np.stack([get_plan(q, n).roots for q in qs])          # [L, n]
+    roots_inv = np.stack([get_plan(q, n).roots_inv for q in qs])
+    n_inv = np.array([get_plan(q, n).n_inv for q in qs], np.uint64)
+    return roots, roots_inv, n_inv
+
+
+def ntt_multi(a, qs: tuple):
+    """Forward negacyclic NTT per-prime: a [L, ..., n] -> same, prime i mod
+    qs[i].  One stage chain for all primes."""
+    n = a.shape[-1]
+    L = a.shape[0]
+    assert L == len(qs)
+    if n == 1:
+        return a
+    roots, _, _ = _multi_tables(qs, n)
+    qv = _qvec(qs, a.ndim + 1)            # broadcast over [L, batch..., m, t]
+    batch = a.shape[1:-1]
+    r = a
+    t, m = n // 2, 1
+    while m < n:
+        r = r.reshape((L,) + batch + (m, 2, t))
+        u = r[..., 0, :]
+        s = roots[:, m:2 * m]             # [L, m]
+        s = s.reshape((L,) + (1,) * len(batch) + (m, 1))
+        v = mulmod_v(r[..., 1, :], s, qv)
+        r = jnp.stack([_addmod_v(u, v, qv), _submod_v(u, v, qv)], axis=-2)
+        t //= 2
+        m *= 2
+    return r.reshape((L,) + batch + (n,))
+
+
+def intt_multi(a, qs: tuple):
+    n = a.shape[-1]
+    L = a.shape[0]
+    if n == 1:
+        return a
+    _, roots_inv, n_inv = _multi_tables(qs, n)
+    qv = _qvec(qs, a.ndim + 1)
+    batch = a.shape[1:-1]
+    r = a
+    t, m = 1, n // 2
+    while m > 0:
+        r = r.reshape((L,) + batch + (m, 2, t))
+        u = r[..., 0, :]
+        v = r[..., 1, :]
+        s = roots_inv[:, m:2 * m].reshape((L,) + (1,) * len(batch) + (m, 1))
+        r = jnp.stack([_addmod_v(u, v, qv),
+                       mulmod_v(_submod_v(u, v, qv), s, qv)], axis=-2)
+        t *= 2
+        m //= 2
+    r = r.reshape((L,) + batch + (n,))
+    ninv = jnp.asarray(n_inv).reshape((L,) + (1,) * (r.ndim - 1))
+    return mulmod_v(r, ninv, _qvec(qs, r.ndim))
+
+
+# ---------------------------------------------------------------------------
 # Cyclic NTT, natural order (building block of the DISTRIBUTED four-step NTT:
 # negacyclic transform = psi-twist + cyclic NTT; see parallel/ntt_sharded.py).
 # ---------------------------------------------------------------------------
