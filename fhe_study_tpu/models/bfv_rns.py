@@ -122,6 +122,16 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     return _submod_v(acc, corr, dv)
 
 
+def _bcast_mid(x, target_ndim: int, lead: int = 1):
+    """Insert singleton axes after the first `lead` (limb) axes so an
+    unbatched key [L, ..., n] broadcasts against batched ciphertexts
+    [L, B..., n] (leading-limb layout breaks right-aligned broadcasting)."""
+    extra = target_ndim - x.ndim
+    if extra <= 0:
+        return x
+    return x.reshape(x.shape[:lead] + (1,) * extra + x.shape[lead:])
+
+
 class SecretKey(NamedTuple):
     s_evals: jax.Array   # [L+M, ..., N] NTT(s) per prime (Q then P basis)
 
@@ -213,10 +223,12 @@ def encrypt(key, param: RnsParam, pk: PublicKey, m, batch=()):
                   jnp.asarray(np.array([delta % q for q in qs], np.uint64)
                               ).reshape(qv.shape), qv)
     eu = ntt_multi(u_res, qs)
+    epb = _bcast_mid(ntt_multi(pk.b, qs), eu.ndim)
+    epa = _bcast_mid(ntt_multi(pk.a, qs), eu.ndim)
     c0 = _addmod_v(_addmod_v(
-        intt_multi(mulmod_v(ntt_multi(pk.b, qs), eu, qv), qs), e0, qv), dm, qv)
+        intt_multi(mulmod_v(epb, eu, qv), qs), e0, qv), dm, qv)
     c1 = _addmod_v(
-        intt_multi(mulmod_v(ntt_multi(pk.a, qs), eu, qv), qs), e1, qv)
+        intt_multi(mulmod_v(epa, eu, qv), qs), e1, qv)
     return CT(c0, c1)
 
 
@@ -225,9 +237,10 @@ def decrypt(param: RnsParam, sk: SecretKey, c: CT):
     qs = param.qs
     bq = _basis(qs)
     qv = _qvec(qs, c.c0.ndim)
+    se = _bcast_mid(sk.s_evals[: param.L], c.c1.ndim)
     cs = _addmod_v(
         c.c0,
-        intt_multi(mulmod_v(ntt_multi(c.c1, qs), sk.s_evals[: param.L], qv), qs),
+        intt_multi(mulmod_v(ntt_multi(c.c1, qs), se, qv), qs),
         qv)
     ys = mulmod_v(cs, jnp.asarray(bq.hat_inv).reshape(qv.shape), qv)
     wf = jnp.asarray(param.t * bq.inv_f).reshape(qv.shape)
@@ -310,8 +323,10 @@ def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     # digits [L_rows, L_primes, ..., n]: d_i mod q_j
     d = c2[:, None, ...] % qv[None, ...]
     ed = jnp.stack([ntt_multi(d[i], qs) for i in range(L)], 0)
-    acc0 = jnp.sum(mulmod_v(ed, rlk.b, qv[None]), axis=0) % qv
-    acc1 = jnp.sum(mulmod_v(ed, rlk.a, qv[None]), axis=0) % qv
+    rb = _bcast_mid(rlk.b, ed.ndim, lead=2)
+    ra = _bcast_mid(rlk.a, ed.ndim, lead=2)
+    acc0 = jnp.sum(mulmod_v(ed, rb, qv[None]), axis=0) % qv
+    acc1 = jnp.sum(mulmod_v(ed, ra, qv[None]), axis=0) % qv
     r0 = _addmod_v(c0, intt_multi(acc0, qs), qv)
     r1 = _addmod_v(c1, intt_multi(acc1, qs), qv)
     return CT(r0, r1)
