@@ -25,7 +25,63 @@ from fhe_study_tpu.models import bfv_rns as R  # noqa: E402
 from fhe_study_tpu.utils import prng  # noqa: E402
 
 
+def bench_tfhe():
+    """bootstraps/s per chip: full blind rotation (correct CMux chain over
+    K·N bits) + sample extraction + key switch, batched."""
+    import numpy as np
+    from fhe_study_tpu.arith import RingParam
+    from fhe_study_tpu.arith.params import TORUS_Q
+    from fhe_study_tpu.models.gfhe.glwe import Param, ERR_SIGMA
+    from fhe_study_tpu.models.tfhe import tlwe, tglwe, bootstrap
+
+    n = int(os.environ.get("FHE_BENCH_N", 1024))
+    t = int(os.environ.get("FHE_BENCH_T", 8))
+    B = int(os.environ.get("FHE_BENCH_B", 8))
+    iters = int(os.environ.get("FHE_BENCH_ITERS", 1))
+    beta, l = 256, 3
+    beta_ks, l_ks = 16, 8
+
+    param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
+    key = jax.random.PRNGKey(0)
+    ks = prng.split(key, 3)
+    table = bootstrap.compute_lookup_table_standard(param)
+    s, _ = tglwe.new_key(ks[0], param)
+    s_flat = tglwe.sk_to_tlwe(s)
+    btk, s_out = bootstrap.new_bootstrapping_key(
+        ks[1], param, s, beta=beta, l=l, beta_ks=beta_ks, l_ks=l_ks,
+        s_lwe_out=s_flat)
+    m = jnp.arange(B, dtype=jnp.uint64) % jnp.uint64(t // 2)
+    c = tlwe.encrypt_uniform(ks[2], param.lwe(), s_flat,
+                             tlwe.encode(param, m), batch=(B,))
+
+    bs = jax.jit(lambda ca, cb: bootstrap.bootstrap(
+        param, btk, table, tlwe.TLWE(ca, cb), beta=beta, l=l,
+        beta_ks=beta_ks, l_ks=l_ks, mode="standard"))
+    out = bs(c.a, c.b)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = bs(c.a, c.b)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    rec = tlwe.decode(param, tlwe.decrypt(param.lwe(), s_out,
+                                          tlwe.TLWE(out[0], out[1])))
+    ok = bool((np.asarray(rec) == np.asarray(m)).all())
+    value = B * iters / dt
+    print(json.dumps({
+        "metric": f"tfhe_bootstrap_n{n}_per_sec_per_chip"
+                  + ("" if ok else "_DECRYPT_FAIL"),
+        "value": round(value, 3),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(value / 62500.0, 6),
+    }))
+
+
 def main():
+    if os.environ.get("FHE_BENCH_KIND", "bfv") == "tfhe":
+        bench_tfhe()
+        return
     n = int(os.environ.get("FHE_BENCH_N", 1 << 14))
     L = int(os.environ.get("FHE_BENCH_L", 4))
     M = int(os.environ.get("FHE_BENCH_M", 5))
