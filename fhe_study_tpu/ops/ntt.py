@@ -74,11 +74,31 @@ def get_plan(q: int, n: int) -> NttPlan:
     return NttPlan(q, n)
 
 
+import os as _os
+
+# Route transforms through the fused Pallas kernel (ops/ntt_pallas.py) when
+# on TPU.  Off by default until profiled; enable with FHE_USE_PALLAS_NTT=1.
+_USE_PALLAS = _os.environ.get("FHE_USE_PALLAS_NTT") == "1"
+
+
+def _pallas_ok(q: int, n: int) -> bool:
+    if not _USE_PALLAS or q >= (1 << 31) or n < 128 or n % 128:
+        return False
+    try:
+        import jax as _jax
+        return _jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def ntt(a, q: int):
     """Forward negacyclic NTT over the last axis. a: u64 [..., n] in [0, q)."""
     n = a.shape[-1]
     if n == 1:
         return a
+    if _pallas_ok(q, n):
+        from . import ntt_pallas
+        return ntt_pallas.ntt_u32(a, q)
     plan = get_plan(q, n)
     batch = a.shape[:-1]
     r = a
@@ -100,6 +120,9 @@ def intt(a, q: int):
     n = a.shape[-1]
     if n == 1:
         return a
+    if _pallas_ok(q, n):
+        from . import ntt_pallas
+        return ntt_pallas.ntt_u32(a, q, inverse=True)
     plan = get_plan(q, n)
     batch = a.shape[:-1]
     r = a
@@ -167,6 +190,10 @@ def ntt_multi(a, qs: tuple):
     assert L == len(qs)
     if n == 1:
         return a
+    if all(_pallas_ok(q, n) for q in qs):
+        from . import ntt_pallas
+        return jnp.stack([ntt_pallas.ntt_u32(a[i], q)
+                          for i, q in enumerate(qs)], 0)
     roots, _, _ = _multi_tables(qs, n)
     qv = _qvec(qs, a.ndim + 1)            # broadcast over [L, batch..., m, t]
     batch = a.shape[1:-1]
@@ -189,6 +216,10 @@ def intt_multi(a, qs: tuple):
     L = a.shape[0]
     if n == 1:
         return a
+    if all(_pallas_ok(q, n) for q in qs):
+        from . import ntt_pallas
+        return jnp.stack([ntt_pallas.ntt_u32(a[i], q, inverse=True)
+                          for i, q in enumerate(qs)], 0)
     _, roots_inv, n_inv = _multi_tables(qs, n)
     qv = _qvec(qs, a.ndim + 1)
     batch = a.shape[1:-1]
