@@ -44,15 +44,20 @@ def bench_tfhe():
     param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
     key = jax.random.PRNGKey(0)
     ks = prng.split(key, 3)
-    table = bootstrap.compute_lookup_table_standard(param)
-    s, _ = tglwe.new_key(ks[0], param)
-    s_flat = tglwe.sk_to_tlwe(s)
-    btk, s_out = bootstrap.new_bootstrapping_key(
-        ks[1], param, s, beta=beta, l=l, beta_ks=beta_ks, l_ks=l_ks,
-        s_lwe_out=s_flat)
-    m = jnp.arange(B, dtype=jnp.uint64) % jnp.uint64(t // 2)
-    c = tlwe.encrypt_uniform(ks[2], param.lwe(), s_flat,
-                             tlwe.encode(param, m), batch=(B,))
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        table = bootstrap.compute_lookup_table_standard(param)
+        s, _ = tglwe.new_key(ks[0], param)
+        s_flat = tglwe.sk_to_tlwe(s)
+        btk, s_out = bootstrap.new_bootstrapping_key(
+            ks[1], param, s, beta=beta, l=l, beta_ks=beta_ks, l_ks=l_ks,
+            s_lwe_out=s_flat)
+        m = jnp.arange(B, dtype=jnp.uint64) % jnp.uint64(t // 2)
+        c = tlwe.encrypt_uniform(ks[2], param.lwe(), s_flat,
+                                 tlwe.encode(param, m), batch=(B,))
+    dev = jax.devices()[0]
+    table, btk, c = jax.tree.map(lambda x: jax.device_put(x, dev),
+                                 (table, btk, c))
 
     bs = jax.jit(lambda ca, cb: bootstrap.bootstrap(
         param, btk, table, tlwe.TLWE(ca, cb), beta=beta, l=l,
@@ -65,8 +70,10 @@ def bench_tfhe():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    rec = tlwe.decode(param, tlwe.decrypt(param.lwe(), s_out,
-                                          tlwe.TLWE(out[0], out[1])))
+    with jax.default_device(cpu):
+        out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), out)
+        rec = tlwe.decode(param, tlwe.decrypt(param.lwe(), s_out,
+                                              tlwe.TLWE(out_cpu[0], out_cpu[1])))
     ok = bool((np.asarray(rec) == np.asarray(m)).all())
     value = B * iters / dt
     print(json.dumps({
@@ -92,12 +99,19 @@ def main():
     param = R.RnsParam(n=n, t=t, L=L, M=M)
     key = jax.random.PRNGKey(0)
     ks = prng.split(key, 6)
-    sk, pk = R.new_key(ks[0], param)
-    rlk = R.rlk_key(ks[1], param, sk)
-    m1 = prng.uniform_mod(ks[2], (B, n), t)
-    m2 = prng.uniform_mod(ks[3], (B, n), t)
-    c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
-    c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
+    # setup on the LOCAL CPU backend: eager ops on the remote TPU would each
+    # dispatch individually through the tunnel
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sk, pk = R.new_key(ks[0], param)
+        rlk = R.rlk_key(ks[1], param, sk)
+        m1 = prng.uniform_mod(ks[2], (B, n), t)
+        m2 = prng.uniform_mod(ks[3], (B, n), t)
+        c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
+        c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
+    dev = jax.devices()[0]
+    sk, pk, rlk, c1, c2 = jax.tree.map(
+        lambda x: jax.device_put(x, dev), (sk, pk, rlk, c1, c2))
 
     mul = jax.jit(lambda x0, x1, y0, y1: R.mul(param, rlk, R.CT(x0, x1),
                                                R.CT(y0, y1)))
@@ -111,12 +125,16 @@ def main():
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
-    # correctness spot check (don't bench a broken kernel)
-    rec = R.decrypt(param, sk, R.CT(out[0], out[1]))
+    # correctness spot check (don't bench a broken kernel) — on CPU, with an
+    # O(n log n) exact reference product (dense n^2 is infeasible at 2^14)
     import numpy as np
-    from fhe_study_tpu.arith import rn
-    want = rn.to_rq(rn.naive_poly_mul(m1.astype(jnp.int64),
-                                      m2.astype(jnp.int64)), t, n)
+    from fhe_study_tpu.ops import ntt as ntt_mod
+    from fhe_study_tpu.ops import modops
+    with jax.default_device(cpu):
+        out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), out)
+        rec = R.decrypt(param, sk, R.CT(out_cpu[0], out_cpu[1]))
+        want = modops.coerce_i64(
+            ntt_mod.polymul_i64_crt(m1.astype(jnp.int64), m2.astype(jnp.int64)), t)
     ok = bool((np.asarray(rec) == np.asarray(want)).all())
 
     value = B * iters / dt
