@@ -18,6 +18,12 @@ import time
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the N=2^14 graphs take minutes through the
+# remote-compile tunnel; cache survives across bench invocations
+os.makedirs("/root/repo/_build/jaxcache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/_build/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -91,11 +91,16 @@ def new_bootstrapping_key(key, param: Param, s_tglwe,
 
 
 def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
-                   beta: int = 2, l: int = 64, mode: str = "standard") -> GLWE:
+                   beta: int = 2, l: int = 64, mode: str = "standard",
+                   fast: bool = True) -> GLWE:
     """acc = v·X^{-b'} ; for each key bit j: acc = CMux(btk_j, acc, acc·X^{+a'_j}).
 
     Final rotation ≈ -(b' - Σ a'_j s_j) = -phase(m).  The chain runs as a
-    lax.scan over the kn bits; each step is one fused external product."""
+    lax.scan over the kn bits; each step is one fused external product.
+
+    fast=True (when the CRT bound admits it) pre-transforms the WHOLE
+    bootstrapping key to the NTT domain in one batched pass and scans over
+    its eval slices — the production Fourier-domain-BSK layout."""
     kn, n = param.kn, param.ring.n
     q2 = (2 * n) if mode == "standard" else kn
     if mode == "standard":
@@ -109,6 +114,23 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
     half = (n // param.t) if mode == "standard" else (n // param.t) // 2
     acc0 = tglwe_mod.left_rotate(param, table, c2.b + U64(half))
 
+    a_T = jnp.moveaxis(c2.a, -1, 0)                        # [kn, ...batch]
+    use_fast = fast and (param.k + 1) * l * n * beta < (1 << 28)
+    if use_fast:
+        gev = tggsw_mod.precompute_evals(
+            param, TGGSW(a=btk.btk_a, b=btk.btk_b))        # [kn, ...]
+
+        def step_fast(acc, inputs):
+            a_j, e1, e2 = inputs
+            rot = tglwe_mod.left_rotate(param, acc,
+                                        (U64(2 * n) - a_j) % U64(2 * n))
+            acc = tggsw_mod.cmux_evals(param, beta, l,
+                                       tggsw_mod.TGGSWEvals(e1, e2), acc, rot)
+            return acc, None
+
+        acc, _ = jax.lax.scan(step_fast, acc0, (a_T, gev.ev1, gev.ev2))
+        return acc
+
     def step(acc, inputs):
         a_j, ga, gb = inputs
         bit = TGGSW(a=ga, b=gb)
@@ -116,9 +138,6 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
         acc = tggsw_mod.cmux(param, beta, l, bit, acc, rot)
         return acc, None
 
-    # scan over the kn key bits; a'_j are scalars [kn] (+ leading batch dims
-    # handled by broadcasting inside cmux)
-    a_T = jnp.moveaxis(c2.a, -1, 0)                        # [kn, ...batch]
     acc, _ = jax.lax.scan(step, acc0, (a_T, btk.btk_a, btk.btk_b))
     return acc
 
@@ -126,9 +145,9 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
 def bootstrap(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
               beta: int = 2, l: int = 64,
               beta_ks: int = 2, l_ks: int = 64,
-              mode: str = "standard") -> TLWE:
+              mode: str = "standard", fast: bool = True) -> TLWE:
     """blind rotation -> sample_extraction(0) -> key switch (tlwe.rs:150-161)."""
-    rotated = blind_rotation(param, btk, table, c, beta, l, mode)
+    rotated = blind_rotation(param, btk, table, c, beta, l, mode, fast=fast)
     c_h = tglwe_mod.sample_extraction(param, rotated, 0)
     ksk = tlwe_mod.KSK(a=btk.ksk_a, b=btk.ksk_b)
     return tlwe_mod.key_switch(param.lwe(), beta_ks, l_ks, ksk, c_h)

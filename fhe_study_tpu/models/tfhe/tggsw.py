@@ -116,3 +116,74 @@ def cmux(param: Param, beta: int, l: int, bit: TGGSW, c1: GLWE, c2: GLWE) -> GLW
     diff = G.sub(param, c2, c1)
     prod = external_product(param, beta, l, bit, diff)
     return G.add(param, c1, prod)
+
+
+# ---------------------------------------------------------------------------
+# Fast path: TGGSW keys pre-transformed to the CRT-NTT domain.
+#
+# The generic external product re-transforms the key polynomials at every
+# call — prohibitive inside the blind-rotation scan (the key side is ~6x the
+# digit side).  Production TFHE keeps bootstrap keys in the Fourier domain;
+# the exact-integer analog here: 32-bit key limbs per CRT prime, stored u32.
+# Digits are small (< beta ≤ 2^12), so they need only ONE limb, and the
+# convolution bound (K+1)·l·n·beta·2^32 stays under the 2-prime CRT capacity.
+# ---------------------------------------------------------------------------
+
+class TGGSWEvals(NamedTuple):
+    """[..., K+1(row), l, K+1(col), 2(limb), N] u32 per CRT prime."""
+    ev1: jax.Array
+    ev2: jax.Array
+
+
+def precompute_evals(param: Param, g: TGGSW) -> TGGSWEvals:
+    """Transform a TGGSW (any leading batch dims) into NTT-domain 32-bit
+    limbs under both CRT primes."""
+    from ...ops import ntt as ntt_mod
+    p1, p2 = ntt_mod.CRT_PRIMES[:2]
+    ab = jnp.concatenate([g.a, g.b[..., None, :]], axis=-2)  # [..., K+1r, l, K+1c, N]
+    lo = ab & U64(0xFFFFFFFF)
+    hi = ab >> U64(32)
+    limbs = jnp.stack([lo, hi], axis=-2)                     # [..., K+1c, 2, N]
+    ev1 = ntt_mod.ntt(limbs % U64(p1), p1).astype(jnp.uint32)
+    ev2 = ntt_mod.ntt(limbs % U64(p2), p2).astype(jnp.uint32)
+    return TGGSWEvals(ev1, ev2)
+
+
+def external_product_evals(param: Param, gev: TGGSWEvals, c: GLWE,
+                           beta: int, l: int) -> GLWE:
+    """TGGSW ⊠ TGLWE with a pre-transformed key: forward-NTT only the (K+1)·l
+    digit polys (single limb), reduce over the grid in the eval domain,
+    4·(K+1) inverse transforms, exact CRT recombination mod 2^64."""
+    from ...ops import ntt as ntt_mod
+    p1, p2 = ntt_mod.CRT_PRIMES[:2]
+    m12 = p1 * p2
+    p1_inv_p2 = pow(p1, -1, p2)
+    k, n = param.k, param.ring.n
+    # conv bound: (K+1)·l·n·beta·2^32 must stay under p1·p2/2
+    assert (k + 1) * l * n * beta < (1 << 28), "CRT capacity exceeded"
+    ab = jnp.concatenate([c.a, c.b[..., None, :]], axis=-2)   # [..., K+1, N]
+    d = tn.decompose(ab, beta, l)                             # [l, ..., K+1, N]
+    d = jnp.moveaxis(d, 0, -2)                                # [..., K+1, l, N]
+
+    def half(ev, p):
+        ed = ntt_mod.ntt(d % U64(p), p)                       # digits: 1 limb
+        # [..., K+1r, l, 1, 1, N] × [..., K+1r, l, K+1c, 2, N] -> reduce rows,l
+        prod = (ed[..., :, :, None, None, :] * ev.astype(jnp.uint64)) % U64(p)
+        s = jnp.sum(prod, axis=(-5, -4)) % U64(p)             # [..., K+1c, 2, N]
+        return ntt_mod.intt(s, p)
+
+    r1 = half(gev.ev1, p1)
+    r2 = half(gev.ev2, p2)
+    diff12 = modops.submod(r2, r1 % U64(p2), p2)
+    delta = (diff12 * U64(p1_inv_p2)) % U64(p2)
+    gk = r1 + U64(p1) * delta                                 # in [0, p1*p2)
+    gk = jnp.where(gk > U64(m12 // 2), gk - U64(m12 % (1 << 64)), gk)
+    out = gk[..., 0, :] + (gk[..., 1, :] << U64(32))          # wrapping
+    return GLWE(a=out[..., :k, :], b=out[..., k, :])
+
+
+def cmux_evals(param: Param, beta: int, l: int, gev: TGGSWEvals,
+               c1: GLWE, c2: GLWE) -> GLWE:
+    diff = G.sub(param, c2, c1)
+    prod = external_product_evals(param, gev, diff, beta, l)
+    return G.add(param, c1, prod)

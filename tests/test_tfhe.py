@@ -197,6 +197,25 @@ def test_sample_extraction():
 
 # -- TGGSW (tggsw.rs:157-196) ----------------------------------------------
 
+def test_tggsw_external_product_evals_fast_path():
+    """Pre-transformed (Fourier-domain-BSK style) external product is
+    bit-identical to the generic path."""
+    param = _param(128, 1, 16)
+    k1, k2, k3, k4 = prng.split(jax.random.PRNGKey(20), 4)
+    s, _ = tglwe.new_key(k1, param)
+    beta, l = 256, 3
+    m1 = prng.uniform_mod(k2, (4, param.ring.n), 2)
+    m2 = prng.uniform_mod(k3, (4, param.ring.n), param.t)
+    g = tggsw.encrypt_s(k4, param, beta, l, s, tggsw.tglev_encode(param, m1),
+                        batch=(4,))
+    c = tglwe.encrypt_s(k4, param, s, tglwe.encode(param, m2), batch=(4,))
+    want = tggsw.external_product(param, beta, l, g, c)
+    gev = tggsw.precompute_evals(param, g)
+    got = tggsw.external_product_evals(param, gev, c, beta, l)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+
+
 def test_tggsw_external_product():
     param = _param(64, 4, 16)
     k1, k2, k3, k4, k5 = prng.split(jax.random.PRNGKey(9), 5)
