@@ -91,9 +91,64 @@ def bench_tfhe():
     }))
 
 
+def bench_bfv_linear():
+    """BASELINE config 2: encrypt/add/pt-mul, N=2^12, 1K-ciphertext batch."""
+    import numpy as np
+    n = int(os.environ.get("FHE_BENCH_N", 1 << 12))
+    L = int(os.environ.get("FHE_BENCH_L", 2))
+    t = int(os.environ.get("FHE_BENCH_T", 256))
+    B = int(os.environ.get("FHE_BENCH_B", 1024))
+    iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
+    param = R.RnsParam(n=n, t=t, L=L, M=L + 1)
+    ks = prng.split(jax.random.PRNGKey(0), 6)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sk, pk = R.new_key(ks[0], param)
+        m1 = prng.uniform_mod(ks[2], (B, n), t)
+        m2 = prng.uniform_mod(ks[3], (B, n), t)
+        c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
+        c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
+    dev = jax.devices()[0]
+    c1, c2, m2d = jax.tree.map(lambda x: jax.device_put(x, dev),
+                               (c1, c2, m2))
+
+    step = jax.jit(lambda a0, a1, b0, b1, m: R.mul_pt(
+        param, R.add(param, R.CT(a0, a1), R.CT(b0, b1)), m))
+    args = (c1.c0, c1.c1, c2.c0, c2.c1, m2d)
+    out = step(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    from fhe_study_tpu.ops import ntt as ntt_mod
+    from fhe_study_tpu.ops import modops
+    with jax.default_device(cpu):
+        out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), out)
+        rec = R.decrypt(param, sk, R.CT(out_cpu[0], out_cpu[1]))
+        s12 = (m1 + m2) % jnp.uint64(t)
+        want = modops.coerce_i64(ntt_mod.polymul_i64_crt(
+            s12.astype(jnp.int64), m2.astype(jnp.int64)), t)
+    ok = bool((np.asarray(rec) == np.asarray(want)).all())
+    value = B * iters / dt
+    print(json.dumps({
+        "metric": f"bfv_rns_add_ptmul_n{n}_per_sec_per_chip"
+                  + ("" if ok else "_DECRYPT_FAIL"),
+        "value": round(value, 3),
+        "unit": "ops/s",
+        "vs_baseline": round(value / 62500.0, 6),
+    }))
+
+
 def main():
-    if os.environ.get("FHE_BENCH_KIND", "bfv") == "tfhe":
+    kind = os.environ.get("FHE_BENCH_KIND", "bfv")
+    if kind == "tfhe":
         bench_tfhe()
+        return
+    if kind == "bfv_linear":
+        bench_bfv_linear()
         return
     n = int(os.environ.get("FHE_BENCH_N", 1 << 14))
     L = int(os.environ.get("FHE_BENCH_L", 4))
