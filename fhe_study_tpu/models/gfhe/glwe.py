@@ -222,14 +222,20 @@ def key_switch(param: Param, beta: int, l: int, ksk: KSK, ct: GLWE) -> GLWE:
     d = ring.decompose(ct.a, beta, l)
     d = jnp.moveaxis(d, 0, -2)
     batch = ct.b.shape[:-1]
-    # flatten (k_src, l) -> M
+    # flatten (k_src, l) -> M; the KSK keeps its OWN leading dims (it may be
+    # unbatched while the ciphertext is batched — broadcasting handles it)
     M = k * l
     d_flat = d.reshape(batch + (M, n))
-    rhs_b = ring.contract(ksk.b.reshape(batch + (M, n)), d_flat)
+    kb = ksk.b.reshape(ksk.b.shape[:-3] + (M, n))
+    rhs_b = ring.contract(kb, d_flat)
     # a-components: contract each of the k output columns (column axis is
     # moved in front so it broadcasts against the digit array)
-    ka = ksk.a.reshape(batch + (M, k, n))
-    rhs_a = ring.contract(jnp.moveaxis(ka, -2, 0), d_flat)  # [k, ..., n]
+    ka = ksk.a.reshape(ksk.a.shape[:-4] + (M, k, n))
+    ka_m = jnp.moveaxis(ka, -2, 0)                          # [k, ksk_batch, M, n]
+    extra = d_flat.ndim - (ka_m.ndim - 1)                   # ct batch dims not in ksk
+    if extra > 0:
+        ka_m = ka_m.reshape(ka_m.shape[:1] + (1,) * extra + ka_m.shape[1:])
+    rhs_a = ring.contract(ka_m, d_flat)                     # [k, ..., n]
     rhs_a = jnp.moveaxis(rhs_a, 0, -2)                      # [..., k, n]
     lhs = GLWE(a=ring.zeros(batch + (k,)), b=ct.b)
     return GLWE(a=ring.sub(lhs.a, rhs_a), b=ring.sub(lhs.b, rhs_b))
