@@ -171,8 +171,8 @@ def main():
         c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
         c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
     dev = jax.devices()[0]
-    sk, pk, rlk, c1, c2 = jax.tree.map(
-        lambda x: jax.device_put(x, dev), (sk, pk, rlk, c1, c2))
+    rlk, c1, c2 = jax.tree.map(
+        lambda x: jax.device_put(x, dev), (rlk, c1, c2))  # sk stays on CPU
 
     mul = jax.jit(lambda x0, x1, y0, y1: R.mul(param, rlk, R.CT(x0, x1),
                                                R.CT(y0, y1)))

@@ -86,6 +86,9 @@ def _pallas_ok(q: int, n: int) -> bool:
         return False
     try:
         import jax as _jax
+        dd = _jax.config.jax_default_device  # honors `with jax.default_device(cpu)`
+        if dd is not None:
+            return getattr(dd, "platform", "") in ("tpu", "axon")
         return _jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False

@@ -127,6 +127,16 @@ def _roll(x, shift: int, axis: int):
     return jax.lax.concatenate([lo, hi], dimension=axis)
 
 
+def _bit_set_mask(shape, dim: int, dist: int):
+    """True where bit log2(dist) of the index along `dim` is CLEAR (i.e. the
+    element is in the first half of its butterfly pair).  Pure shift/and —
+    integer division recurses in the Mosaic tracer."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+    shift = dist.bit_length() - 1
+    bit = jax.lax.shift_right_logical(idx, jnp.int32(shift)) & jnp.int32(1)
+    return bit == jnp.int32(0)
+
+
 def _swap_xor_t(x, t: int, rows: int):
     """x: [B, rows, 128]; return x[..., j ^ t] for element index j.
     (Wrap-around elements land only on masked-out positions.)"""
@@ -134,23 +144,16 @@ def _swap_xor_t(x, t: int, rows: int):
         r = t // LANES
         down = _roll(x, -r, 1)          # x[row + r]
         up = _roll(x, r, 1)             # x[row - r]
-        row_id = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        first = (row_id // r) % 2 == 0
-        return jnp.where(first, down, up)
+        return jnp.where(_bit_set_mask(x.shape, 1, r), down, up)
     down = _roll(x, -t, 2)
     up = _roll(x, t, 2)
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-    first = (lane_id // t) % 2 == 0
-    return jnp.where(first, down, up)
+    return jnp.where(_bit_set_mask(x.shape, 2, t), down, up)
 
 
 def _first_half_mask(shape, t: int):
     if t >= LANES:
-        r = t // LANES
-        row_id = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-        return (row_id // r) % 2 == 0
-    lane_id = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    return (lane_id // t) % 2 == 0
+        return _bit_set_mask(shape, 1, t // LANES)
+    return _bit_set_mask(shape, 2, t)
 
 
 # ---------------------------------------------------------------------------
@@ -197,12 +200,14 @@ def _build_call(q: int, n: int, inverse: bool, block_b: int, interpret: bool):
             out_shape=jax.ShapeDtypeStruct((B, n), jnp.uint32),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_b, n), lambda i: (i, 0),
+                # NB: zeros via i*0 keep the index-map dtype uniform (a bare
+                # Python 0 lowers as i64 under x64 and breaks Mosaic)
+                pl.BlockSpec((block_b, n), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((logn, n), lambda i: (0, 0),
+                pl.BlockSpec((logn, n), lambda i: (i * 0, i * 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((block_b, n), lambda i: (i, 0),
+            out_specs=pl.BlockSpec((block_b, n), lambda i: (i, i * 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(x, jnp.asarray(tw))
