@@ -15,6 +15,10 @@ import json
 import os
 import time
 
+# default the fused Pallas NTT on (read at fhe_study_tpu import; ~2x the
+# XLA u64 path on TPU); FHE_USE_PALLAS_NTT=0 for the pure-XLA baseline
+os.environ.setdefault("FHE_USE_PALLAS_NTT", "1")
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import modops, ntt
-from ..ops.ntt import ntt_multi, intt_multi, mulmod_v, _qvec, _addmod_v, _submod_v
+from ..ops.ntt import (ntt_multi, intt_multi, mulmod_v, _qvec, _addmod_v,
+                       _submod_v, barrett_muv, barrett_red)
 from ..ops.primes import ntt_primes
 from ..utils import prng
 from ..utils.rounding import round_half_away
@@ -106,19 +107,21 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     b = _basis(src)
     tab, smod = _ext_table(src, dst)
     sv = _qvec(src, x.ndim)
+    smu = barrett_muv(src, x.ndim)
     hi = jnp.asarray(b.hat_inv).reshape(sv.shape)
-    ys = mulmod_v(x, hi, sv)                                   # [Ls, ..., n]
+    ys = mulmod_v(x, hi, sv, smu)                              # [Ls, ..., n]
     invf = jnp.asarray(b.inv_f).reshape(sv.shape)
     alpha_f = jnp.sum(ys.astype(jnp.float64) * invf, axis=0)   # [..., n]
     alpha = jnp.floor(alpha_f + (0.5 if centered else 0.0)).astype(jnp.uint64)
     # out_j = Σ_i (y_i · tab[i,j]) − α·S   (mod d_j), vectorized over j
     dv = _qvec(dst, x.ndim)
+    dmu = barrett_muv(dst, x.ndim)
     tabj = jnp.asarray(tab)                                    # [Ls, Ld]
     tabj = tabj.reshape((len(src), len(dst)) + (1,) * (x.ndim - 1))
-    prods = (ys[:, None, ...] * tabj) % dv[None, ...]          # y<2^31·t<2^32 ✓
-    acc = jnp.sum(prods, axis=0) % dv                          # [Ld, ..., n]
+    prods = mulmod_v(ys[:, None, ...], tabj, dv[None, ...], dmu[None, ...])
+    acc = barrett_red(jnp.sum(prods, axis=0), dv, dmu)         # [Ld, ..., n]
     smodv = jnp.asarray(smod).reshape(dv.shape)
-    corr = mulmod_v(alpha[None, ...] % dv, smodv, dv)
+    corr = mulmod_v(alpha[None, ...], smodv, dv, dmu)  # alpha < Ls << d
     return _submod_v(acc, corr, dv)
 
 
@@ -166,8 +169,9 @@ def new_key(key, param: RnsParam, batch=()):
     e_res = _to_residues(prng.gaussian_int(k_e, tuple(batch) + (param.n,),
                                            ERR_SIGMA), qs)
     qv = _qvec(qs, a.ndim)
+    mv = barrett_muv(qs, a.ndim)
     ea = ntt_multi(a, qs)
-    a_s = intt_multi(mulmod_v(ea, s_evals[: param.L], qv), qs)
+    a_s = intt_multi(mulmod_v(ea, s_evals[: param.L], qv, mv), qs)
     b = _submod_v(e_res, a_s, qv)
     return SecretKey(s_evals), PublicKey(b=b, a=a)
 
@@ -190,15 +194,16 @@ def rlk_key(key, param: RnsParam, sk: SecretKey, batch=()):
                                        tuple(batch) + (param.n,), ERR_SIGMA), qs)
         for i in range(L)], 0)
     qv = _qvec(qs, a.ndim - 1)
+    mv = barrett_muv(qs, a.ndim - 1)
     sq = sk.s_evals[:L]
-    s2 = mulmod_v(sq, sq, qv)                                  # NTT(s²)
+    s2 = mulmod_v(sq, sq, qv, mv)                              # NTT(s²)
     # gadget residues g_i mod q_j  -> [L_rows, L_primes]
     g = np.array([[ (bq.hat[i] * int(bq.hat_inv[i])) % q for q in qs]
                   for i in range(L)], np.uint64)
     gv = jnp.asarray(g).reshape((L, L) + (1,) * (a.ndim - 2))
     ea = jnp.stack([ntt_multi(a[i], qs) for i in range(L)], 0)
-    as_ = mulmod_v(ea, sq[None], qv[None])
-    s2g = mulmod_v(s2[None], gv, qv[None])
+    as_ = mulmod_v(ea, sq[None], qv[None], mv[None])
+    s2g = mulmod_v(s2[None], gv, qv[None], mv[None])
     ee = jnp.stack([ntt_multi(e[i], qs) for i in range(L)], 0)
     b = _submod_v(_addmod_v(s2g, ee, qv[None]), as_, qv[None])
     return RLK(b=b, a=ea)
@@ -219,16 +224,17 @@ def encrypt(key, param: RnsParam, pk: PublicKey, m, batch=()):
     e1 = _to_residues(prng.gaussian_int(k_e1, tuple(batch) + (param.n,),
                                         ERR_SIGMA), qs)
     qv = _qvec(qs, u_res.ndim)
+    mv = barrett_muv(qs, u_res.ndim)
     dm = mulmod_v(_to_residues(jnp.asarray(m, jnp.int64), qs),
                   jnp.asarray(np.array([delta % q for q in qs], np.uint64)
-                              ).reshape(qv.shape), qv)
+                              ).reshape(qv.shape), qv, mv)
     eu = ntt_multi(u_res, qs)
     epb = _bcast_mid(ntt_multi(pk.b, qs), eu.ndim)
     epa = _bcast_mid(ntt_multi(pk.a, qs), eu.ndim)
     c0 = _addmod_v(_addmod_v(
-        intt_multi(mulmod_v(epb, eu, qv), qs), e0, qv), dm, qv)
+        intt_multi(mulmod_v(epb, eu, qv, mv), qs), e0, qv), dm, qv)
     c1 = _addmod_v(
-        intt_multi(mulmod_v(epa, eu, qv), qs), e1, qv)
+        intt_multi(mulmod_v(epa, eu, qv, mv), qs), e1, qv)
     return CT(c0, c1)
 
 
@@ -237,12 +243,13 @@ def decrypt(param: RnsParam, sk: SecretKey, c: CT):
     qs = param.qs
     bq = _basis(qs)
     qv = _qvec(qs, c.c0.ndim)
+    mv = barrett_muv(qs, c.c0.ndim)
     se = _bcast_mid(sk.s_evals[: param.L], c.c1.ndim)
     cs = _addmod_v(
         c.c0,
-        intt_multi(mulmod_v(ntt_multi(c.c1, qs), se, qv), qs),
+        intt_multi(mulmod_v(ntt_multi(c.c1, qs), se, qv, mv), qs),
         qv)
-    ys = mulmod_v(cs, jnp.asarray(bq.hat_inv).reshape(qv.shape), qv)
+    ys = mulmod_v(cs, jnp.asarray(bq.hat_inv).reshape(qv.shape), qv, mv)
     wf = jnp.asarray(param.t * bq.inv_f).reshape(qv.shape)
     v = jnp.sum(ys.astype(jnp.float64) * wf, axis=0)
     return modops.coerce_i64(round_half_away(v), param.t)
@@ -259,18 +266,20 @@ def add_pt(param: RnsParam, x: CT, m) -> CT:
     qs = param.qs
     delta = _basis(qs).prod // param.t
     qv = _qvec(qs, x.c0.ndim)
+    mv = barrett_muv(qs, x.c0.ndim)
     dm = mulmod_v(_to_residues(jnp.asarray(m, jnp.int64), qs),
                   jnp.asarray(np.array([delta % q for q in qs], np.uint64)
-                              ).reshape(qv.shape), qv)
+                              ).reshape(qv.shape), qv, mv)
     return CT(_addmod_v(x.c0, dm, qv), x.c1)
 
 
 def mul_pt(param: RnsParam, x: CT, m) -> CT:
     qs = param.qs
     qv = _qvec(qs, x.c0.ndim)
+    mv = barrett_muv(qs, x.c0.ndim)
     em = ntt_multi(_to_residues(jnp.asarray(m, jnp.int64), qs), qs)
-    c0 = intt_multi(mulmod_v(ntt_multi(x.c0, qs), em, qv), qs)
-    c1 = intt_multi(mulmod_v(ntt_multi(x.c1, qs), em, qv), qs)
+    c0 = intt_multi(mulmod_v(ntt_multi(x.c0, qs), em, qv, mv), qs)
+    c1 = intt_multi(mulmod_v(ntt_multi(x.c1, qs), em, qv, mv), qs)
     return CT(c0, c1)
 
 
@@ -288,13 +297,14 @@ def _tensor(param: RnsParam, x: CT, y: CT):
         f"P basis too small: {p_bits:.0f} bits, need > {need_p:.0f}"
     # 1. extend all four polys to the P basis; transform once per prime
     bv = _qvec(both, x.c0.ndim)
+    bmu = barrett_muv(both, x.c0.ndim)
     ext = lambda poly: ntt_multi(  # noqa: E731
         jnp.concatenate([poly, fast_base_extend(poly, qs, ps)], axis=0), both)
     ex0, ex1, ey0, ey1 = ext(x.c0), ext(x.c1), ext(y.c0), ext(y.c1)
-    d0 = intt_multi(mulmod_v(ex0, ey0, bv), both)
-    d1 = intt_multi(_addmod_v(mulmod_v(ex0, ey1, bv),
-                              mulmod_v(ex1, ey0, bv), bv), both)
-    d2 = intt_multi(mulmod_v(ex1, ey1, bv), both)
+    d0 = intt_multi(mulmod_v(ex0, ey0, bv, bmu), both)
+    d1 = intt_multi(_addmod_v(mulmod_v(ex0, ey1, bv, bmu),
+                              mulmod_v(ex1, ey0, bv, bmu), bv), both)
+    d2 = intt_multi(mulmod_v(ex1, ey1, bv, bmu), both)
     # 2. r = floor(t·v/Q): [w]_Q is the UNSIGNED remainder (w − [w]_Q =
     # Q·floor(w/Q), exact for signed w too) -> extend with the [0,Q)
     # interpretation; r is signed & small -> centered extension back to Q
@@ -304,12 +314,15 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     qinv_p = jnp.asarray(np.array([pow(Q, -1, p) for p in ps], np.uint64))
     qv = _qvec(qs, x.c0.ndim)
     pv = _qvec(ps, x.c0.ndim)
+    qmu = barrett_muv(qs, x.c0.ndim)
+    pmu = barrett_muv(ps, x.c0.ndim)
     out = []
     for d in (d0, d1, d2):
-        w_q = mulmod_v(d[: param.L], tq.reshape(qv.shape), qv)
-        w_p = mulmod_v(d[param.L:], tp.reshape(pv.shape), pv)
+        w_q = mulmod_v(d[: param.L], tq.reshape(qv.shape), qv, qmu)
+        w_p = mulmod_v(d[param.L:], tp.reshape(pv.shape), pv, pmu)
         wq_in_p = fast_base_extend(w_q, qs, ps)
-        r_p = mulmod_v(_submod_v(w_p, wq_in_p, pv), qinv_p.reshape(pv.shape), pv)
+        r_p = mulmod_v(_submod_v(w_p, wq_in_p, pv), qinv_p.reshape(pv.shape),
+                       pv, pmu)
         out.append(fast_base_extend(r_p, ps, qs, centered=True))
     return out
 
@@ -320,13 +333,16 @@ def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     qs = param.qs
     L = param.L
     qv = _qvec(qs, c0.ndim)
-    # digits [L_rows, L_primes, ..., n]: d_i mod q_j
-    d = c2[:, None, ...] % qv[None, ...]
+    mv = barrett_muv(qs, c0.ndim)
+    # digits [L_rows, L_primes, ..., n]: d_i mod q_j  (digit < 2^31 -> barrett)
+    d = barrett_red(c2[:, None, ...], qv[None, ...], mv[None, ...])
     ed = jnp.stack([ntt_multi(d[i], qs) for i in range(L)], 0)
     rb = _bcast_mid(rlk.b, ed.ndim, lead=2)
     ra = _bcast_mid(rlk.a, ed.ndim, lead=2)
-    acc0 = jnp.sum(mulmod_v(ed, rb, qv[None]), axis=0) % qv
-    acc1 = jnp.sum(mulmod_v(ed, ra, qv[None]), axis=0) % qv
+    acc0 = barrett_red(jnp.sum(mulmod_v(ed, rb, qv[None], mv[None]), axis=0),
+                       qv, mv)
+    acc1 = barrett_red(jnp.sum(mulmod_v(ed, ra, qv[None], mv[None]), axis=0),
+                       qv, mv)
     r0 = _addmod_v(c0, intt_multi(acc0, qs), qv)
     r1 = _addmod_v(c1, intt_multi(acc1, qs), qv)
     return CT(r0, r1)

@@ -171,9 +171,36 @@ def _submod_v(a, b, qv):
     return jnp.where(a >= b, a - b, (qv - b) + a)
 
 
-def mulmod_v(a, b, qv):
-    """(a*b) mod broadcastable modulus array; operands' product must be <2^64."""
-    return (a * b) % qv
+def mulmod_v(a, b, qv, muv=None):
+    """(a*b) mod broadcastable modulus array; operands' product must be <2^64.
+
+    With muv = floor(2^62/q) per prime (see barrett_mu), uses Barrett
+    reduction: 2 u64 multiplies + shifts + a few conditional subtracts —
+    far cheaper than XLA's generic 64-bit division, and valid whenever
+    a, b < q < 2^31 (all RNS primes)."""
+    t = a * b
+    if muv is None:
+        return t % qv
+    return barrett_red(t, qv, muv)
+
+
+def barrett_red(t, qv, muv):
+    """t mod q for t < 2^62, q < 2^31, muv = floor(2^62/q)."""
+    qhat = ((t >> jnp.uint64(31)) * muv) >> jnp.uint64(31)
+    r = t - qhat * qv
+    for _ in range(4):   # Barrett quotient undershoots by < 5 at 30-bit q
+        r = jnp.where(r >= qv, r - qv, r)
+    return r
+
+
+@lru_cache(maxsize=None)
+def barrett_mu(qs: tuple):
+    """floor(2^62 / q) per prime, for mulmod_v's Barrett path (numpy)."""
+    return np.array([(1 << 62) // q for q in qs], np.uint64)
+
+
+def barrett_muv(qs: tuple, ndim: int):
+    return jnp.asarray(barrett_mu(qs)).reshape((len(qs),) + (1,) * (ndim - 1))
 
 
 @lru_cache(maxsize=None)
@@ -199,6 +226,7 @@ def ntt_multi(a, qs: tuple):
                           for i, q in enumerate(qs)], 0)
     roots, _, _ = _multi_tables(qs, n)
     qv = _qvec(qs, a.ndim + 1)            # broadcast over [L, batch..., m, t]
+    muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None
     batch = a.shape[1:-1]
     r = a
     t, m = n // 2, 1
@@ -207,7 +235,7 @@ def ntt_multi(a, qs: tuple):
         u = r[..., 0, :]
         s = roots[:, m:2 * m]             # [L, m]
         s = s.reshape((L,) + (1,) * len(batch) + (m, 1))
-        v = mulmod_v(r[..., 1, :], s, qv)
+        v = mulmod_v(r[..., 1, :], s, qv, muv)
         r = jnp.stack([_addmod_v(u, v, qv), _submod_v(u, v, qv)], axis=-2)
         t //= 2
         m *= 2
@@ -225,6 +253,7 @@ def intt_multi(a, qs: tuple):
                           for i, q in enumerate(qs)], 0)
     _, roots_inv, n_inv = _multi_tables(qs, n)
     qv = _qvec(qs, a.ndim + 1)
+    muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None
     batch = a.shape[1:-1]
     r = a
     t, m = 1, n // 2
@@ -234,12 +263,13 @@ def intt_multi(a, qs: tuple):
         v = r[..., 1, :]
         s = roots_inv[:, m:2 * m].reshape((L,) + (1,) * len(batch) + (m, 1))
         r = jnp.stack([_addmod_v(u, v, qv),
-                       mulmod_v(_submod_v(u, v, qv), s, qv)], axis=-2)
+                       mulmod_v(_submod_v(u, v, qv), s, qv, muv)], axis=-2)
         t *= 2
         m //= 2
     r = r.reshape((L,) + batch + (n,))
     ninv = jnp.asarray(n_inv).reshape((L,) + (1,) * (r.ndim - 1))
-    return mulmod_v(r, ninv, _qvec(qs, r.ndim))
+    return mulmod_v(r, ninv, _qvec(qs, r.ndim),
+                    barrett_muv(qs, r.ndim) if max(qs) < (1 << 31) else None)
 
 
 # ---------------------------------------------------------------------------
