@@ -222,8 +222,7 @@ def ntt_multi(a, qs: tuple):
         return a
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
-        return jnp.stack([ntt_pallas.ntt_u32(a[i], q)
-                          for i, q in enumerate(qs)], 0)
+        return ntt_pallas.ntt_multi_u32(a, qs)
     roots, _, _ = _multi_tables(qs, n)
     qv = _qvec(qs, a.ndim + 1)            # broadcast over [L, batch..., m, t]
     muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None
@@ -249,8 +248,7 @@ def intt_multi(a, qs: tuple):
         return a
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
-        return jnp.stack([ntt_pallas.ntt_u32(a[i], q, inverse=True)
-                          for i, q in enumerate(qs)], 0)
+        return ntt_pallas.ntt_multi_u32(a, qs, inverse=True)
     _, roots_inv, n_inv = _multi_tables(qs, n)
     qv = _qvec(qs, a.ndim + 1)
     muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None

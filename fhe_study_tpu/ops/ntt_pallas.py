@@ -215,6 +215,106 @@ def _build_call(q: int, n: int, inverse: bool, block_b: int, interpret: bool):
     return call
 
 
+# ---------------------------------------------------------------------------
+# Multi-prime kernel: the RNS stack transforms [L, B, n] in ONE pallas_call —
+# grid (prime, batch-block), per-prime (q, nqinv, n_inv) via scalar prefetch.
+# ---------------------------------------------------------------------------
+
+def _ntt_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, inverse):
+    q = consts_ref[0, pl.program_id(0)]
+    nqinv = consts_ref[1, pl.program_id(0)]
+    n_inv_mont = consts_ref[2, pl.program_id(0)]
+    rows = n // LANES
+    x = x_ref[...].reshape(x_ref.shape[1], rows, LANES)
+    logn = n.bit_length() - 1
+    for s in range(logn):
+        t = (n >> (s + 1)) if not inverse else (1 << s)
+        tw = tw_ref[0, s, :].reshape(1, rows, LANES)
+        y = _swap_xor_t(x, t, rows)
+        first = _first_half_mask(x.shape, t)
+        if not inverse:
+            sy = _mont_mul_dyn(y, tw, q, nqinv)
+            sx = _mont_mul_dyn(x, tw, q, nqinv)
+            x = jnp.where(first, _addmod_dyn(x, sy, q), _submod_dyn(y, sx, q))
+        else:
+            diff = _submod_dyn(y, x, q)
+            x = jnp.where(first, _addmod_dyn(x, y, q),
+                          _mont_mul_dyn(diff, tw, q, nqinv))
+    if inverse:
+        x = _mont_mul_dyn(x, jnp.full_like(x, 1) * n_inv_mont, q, nqinv)
+    o_ref[...] = x.reshape(x_ref.shape)
+
+
+def _mont_mul_dyn(a, b_mont, q, nqinv):
+    hi, lo = _mul32_wide(a, b_mont)
+    m = lo * nqinv
+    mh, _ = _mul32_wide(m, q)
+    carry = (lo != U32(0)).astype(U32)
+    t = hi + mh + carry
+    return jnp.where(t >= q, t - q, t)
+
+
+def _addmod_dyn(a, b, q):
+    s = a + b
+    return jnp.where(s >= q, s - q, s)
+
+
+def _submod_dyn(a, b, q):
+    return jnp.where(a >= b, a - b, (q - b) + a)
+
+
+@lru_cache(maxsize=None)
+def _multi_consts(qs: tuple, n: int):
+    cons = np.zeros((3, len(qs)), np.uint32)
+    fwd_all, inv_all = [], []
+    for i, q in enumerate(qs):
+        nqinv, _ = _mont32_consts(q)
+        fwd, inv, ninv = _stage_tables(q, n)
+        cons[0, i] = q
+        cons[1, i] = nqinv
+        cons[2, i] = ninv
+        fwd_all.append(fwd)
+        inv_all.append(inv)
+    return cons, np.stack(fwd_all), np.stack(inv_all)   # tw: [L, logn, n]
+
+
+def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
+                  interpret: bool | None = None):
+    """[L, ..., n] per-prime transform in a single kernel launch."""
+    L = x.shape[0]
+    n = x.shape[-1]
+    assert L == len(qs) and n >= LANES and n % LANES == 0
+    orig_dtype = x.dtype
+    batch = x.shape[1:-1]
+    xb = x.reshape((L, -1, n)).astype(jnp.uint32)
+    B = xb.shape[1]
+    block_b = max(1, min(B, (4 << 20) // (n * 4)))
+    while B % block_b:
+        block_b -= 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    cons, fwd, inv = _multi_consts(qs, n)
+    tw = inv if inverse else fwd
+    logn = n.bit_length() - 1
+    kern = partial(_ntt_kernel_multi, n=n, inverse=inverse)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B // block_b),
+        in_specs=[
+            pl.BlockSpec((1, block_b, n), lambda p, i, *_: (p, i, 0 * p)),
+            pl.BlockSpec((1, logn, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
+        ],
+        out_specs=pl.BlockSpec((1, block_b, n), lambda p, i, *_: (p, i, 0 * p)),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((L, B, n), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(cons), xb, jnp.asarray(tw))
+    return out.reshape((L,) + batch + (n,)).astype(orig_dtype)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
