@@ -1,0 +1,175 @@
+"""RNS-CKKS: approximate arithmetic over a multi-prime modulus Q = prod(q_i).
+
+The limb-partitioned CKKS pipeline of BASELINE config 4: encode on-device
+(split-complex FFT, encoder_device.py), encrypt/add residue-wise over L
+~30-bit NTT primes (the leading limb axis shards over the `ep` mesh axis),
+decrypt via HPS float accumulation, decode back through the FFT.
+
+Scope note: homomorphic multiply + rescale (level dropping) reuses the
+machinery in bfv_rns (`mod_switch_drop` is exactly CKKS rescaling by q_last);
+`mul` here composes tensor (without BFV's t/Q scaling) + relinearization and
+one rescale — the standard RNS-CKKS multiply.
+"""
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...ops import modops
+from ...ops.ntt import (ntt_multi, intt_multi, mulmod_v, _qvec, _addmod_v,
+                        _submod_v, barrett_muv)
+from ...ops.primes import ntt_primes
+from ...utils import prng
+from ..bfv_rns import _basis, _to_residues, _bcast_mid
+from . import encoder_device
+
+ERR_SIGMA = 3.2
+U64 = jnp.uint64
+
+
+@dataclass(frozen=True)
+class Param:
+    n: int
+    L: int                 # number of RNS primes
+    delta: float           # encoding scale
+    prime_bits: int = 30
+
+    @property
+    def qs(self):
+        return ntt_primes(self.L, self.prime_bits, 1 << 16)
+
+
+class SecretKey(NamedTuple):
+    s_evals: jax.Array     # [L, ..., N]
+
+
+class PublicKey(NamedTuple):
+    b: jax.Array
+    a: jax.Array
+
+
+class CT(NamedTuple):
+    c0: jax.Array          # [L, ..., N]
+    c1: jax.Array
+
+
+def new_key(key, param: Param, batch=()):
+    qs = param.qs
+    k_s, k_a, k_e = prng.split(key, 3)
+    s = prng.ternary(k_s, tuple(batch) + (param.n,))
+    s_evals = ntt_multi(_to_residues(s, qs), qs)
+    a = jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i),
+                                    tuple(batch) + (param.n,), q)
+                   for i, q in enumerate(qs)], 0)
+    e = _to_residues(prng.gaussian_int(k_e, tuple(batch) + (param.n,),
+                                       ERR_SIGMA), qs)
+    qv = _qvec(qs, a.ndim)
+    mv = barrett_muv(qs, a.ndim)
+    a_s = intt_multi(mulmod_v(ntt_multi(a, qs), s_evals, qv, mv), qs)
+    return SecretKey(s_evals), PublicKey(b=_submod_v(e, a_s, qv), a=a)
+
+
+def encode(param: Param, z_re, z_im):
+    """[..., N/2] complex slots -> RNS residues [L, ..., N]."""
+    m = encoder_device.encode(z_re, z_im, param.n, param.delta)
+    return _to_residues(m, param.qs)
+
+
+def encrypt(key, param: Param, pk: PublicKey, m_res, batch=()):
+    qs = param.qs
+    k_u, k_e0, k_e1 = prng.split(key, 3)
+    u = _to_residues(prng.ternary(k_u, tuple(batch) + (param.n,)), qs)
+    e0 = _to_residues(prng.gaussian_int(k_e0, tuple(batch) + (param.n,),
+                                        ERR_SIGMA), qs)
+    e1 = _to_residues(prng.gaussian_int(k_e1, tuple(batch) + (param.n,),
+                                        ERR_SIGMA), qs)
+    qv = _qvec(qs, u.ndim)
+    mv = barrett_muv(qs, u.ndim)
+    eu = ntt_multi(u, qs)
+    epb = _bcast_mid(ntt_multi(pk.b, qs), eu.ndim)
+    epa = _bcast_mid(ntt_multi(pk.a, qs), eu.ndim)
+    c0 = _addmod_v(_addmod_v(
+        intt_multi(mulmod_v(epb, eu, qv, mv), qs), e0, qv), m_res, qv)
+    c1 = _addmod_v(intt_multi(mulmod_v(epa, eu, qv, mv), qs), e1, qv)
+    return CT(c0, c1)
+
+
+def add(param: Param, x: CT, y: CT) -> CT:
+    qv = _qvec(param.qs, x.c0.ndim)
+    return CT(_addmod_v(x.c0, y.c0, qv), _addmod_v(x.c1, y.c1, qv))
+
+
+def sub(param: Param, x: CT, y: CT) -> CT:
+    qv = _qvec(param.qs, x.c0.ndim)
+    return CT(_submod_v(x.c0, y.c0, qv), _submod_v(x.c1, y.c1, qv))
+
+
+def decrypt_to_coeffs(param: Param, sk: SecretKey, c: CT):
+    """c0 + c1·s -> centered f64 coefficients.
+
+    The decrypted phase Δ·z + e is tiny relative to Q, so it is recovered
+    EXACTLY from the first two limbs by centered 2-prime CRT (valid while
+    |phase| < q_0·q_1/2 ≈ 2^60 — i.e. Δ·|z| up to ~2^52 in f64 range)."""
+    qs = param.qs
+    qv = _qvec(qs, c.c0.ndim)
+    mv = barrett_muv(qs, c.c0.ndim)
+    se = _bcast_mid(sk.s_evals, c.c1.ndim)
+    cs = _addmod_v(
+        c.c0, intt_multi(mulmod_v(ntt_multi(c.c1, qs), se, qv, mv), qs), qv)
+    q0, q1 = qs[0], qs[1]
+    r0, r1 = cs[0], cs[1]
+    q0_inv_q1 = pow(q0, -1, q1)
+    d = modops.mulmod(modops.submod(r1, r0 % U64(q1), q1), U64(q0_inv_q1), q1)
+    v = r0 + U64(q0) * d                        # in [0, q0*q1)
+    m01 = q0 * q1
+    sv = jnp.where(v > U64(m01 // 2),
+                   -((U64(m01 % (1 << 64)) - v).astype(jnp.float64)),
+                   v.astype(jnp.float64))
+    return sv
+
+
+def decode(param: Param, coeffs_f64):
+    return encoder_device.decode(coeffs_f64, param.n, param.delta)
+
+
+# -- multiply + rescale (the standard RNS-CKKS pipeline) --------------------
+
+def _bfv_param(param: Param):
+    from ..bfv_rns import RnsParam
+    # same prime sequence; t unused by relin/mod-switch machinery
+    return RnsParam(n=param.n, t=2, L=param.L, M=1,
+                    prime_bits=param.prime_bits)
+
+
+def rlk_key(key, param: Param, sk: SecretKey, batch=()):
+    """RNS-gadget relinearization key (shared machinery with RNS-BFV)."""
+    from .. import bfv_rns
+    return bfv_rns.rlk_key(key, _bfv_param(param), sk, batch=batch)
+
+
+def mul(param: Param, rlk, x: CT, y: CT):
+    """(x ⊗ y) -> relinearize -> rescale by q_last.
+
+    Returns (ct', param') where param' has L-1 limbs and scale delta^2/q_last
+    — the standard CKKS level drop.  No base extension is needed: CKKS
+    multiplies mod Q directly and divides by ONE prime."""
+    from .. import bfv_rns
+    qs = param.qs
+    qv = _qvec(qs, x.c0.ndim)
+    mv = barrett_muv(qs, x.c0.ndim)
+    ex0, ex1 = ntt_multi(x.c0, qs), ntt_multi(x.c1, qs)
+    ey0, ey1 = ntt_multi(y.c0, qs), ntt_multi(y.c1, qs)
+    d0 = intt_multi(mulmod_v(ex0, ey0, qv, mv), qs)
+    d1 = intt_multi(_addmod_v(mulmod_v(ex0, ey1, qv, mv),
+                              mulmod_v(ex1, ey0, qv, mv), qv), qs)
+    d2 = intt_multi(mulmod_v(ex1, ey1, qv, mv), qs)
+    bp = _bfv_param(param)
+    ct = bfv_rns.relinearize(bp, rlk, d0, d1, d2)
+    ct = bfv_rns.mod_switch_drop(bp, bfv_rns.CT(ct.c0, ct.c1))
+    new_param = Param(n=param.n, L=param.L - 1,
+                      delta=param.delta * param.delta / qs[-1],
+                      prime_bits=param.prime_bits)
+    return CT(ct.c0, ct.c1), new_param
