@@ -113,13 +113,21 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     invf = jnp.asarray(b.inv_f).reshape(sv.shape)
     alpha_f = jnp.sum(ys.astype(jnp.float64) * invf, axis=0)   # [..., n]
     alpha = jnp.floor(alpha_f + (0.5 if centered else 0.0)).astype(jnp.uint64)
-    # out_j = Σ_i (y_i · tab[i,j]) − α·S   (mod d_j), vectorized over j
+    # out_j = Σ_i (y_i · tab[i,j]) − α·S   (mod d_j).  Accumulate in pairs of
+    # raw u64 products (2·2^62 < 2^64) with one Barrett per pair — avoids
+    # materializing the full [Ls, Ld, ...] product tensor.
     dv = _qvec(dst, x.ndim)
     dmu = barrett_muv(dst, x.ndim)
     tabj = jnp.asarray(tab)                                    # [Ls, Ld]
     tabj = tabj.reshape((len(src), len(dst)) + (1,) * (x.ndim - 1))
-    prods = mulmod_v(ys[:, None, ...], tabj, dv[None, ...], dmu[None, ...])
-    acc = barrett_red(jnp.sum(prods, axis=0), dv, dmu)         # [Ld, ..., n]
+    Ls = len(src)
+    acc = jnp.zeros((len(dst),) + x.shape[1:], jnp.uint64)
+    for i0 in range(0, Ls, 2):
+        raw = ys[i0][None, ...] * tabj[i0]
+        if i0 + 1 < Ls:
+            raw = raw + ys[i0 + 1][None, ...] * tabj[i0 + 1]
+        acc = acc + barrett_red(raw, dv, dmu)                  # acc < Ls/2·d
+    acc = barrett_red(acc, dv, dmu)                            # [Ld, ..., n]
     smodv = jnp.asarray(smod).reshape(dv.shape)
     corr = mulmod_v(alpha[None, ...], smodv, dv, dmu)  # alpha < Ls << d
     return _submod_v(acc, corr, dv)
