@@ -361,6 +361,79 @@ def mul(param: RnsParam, rlk: RLK, x: CT, y: CT) -> CT:
     return relinearize(param, rlk, c0, c1, c2)
 
 
+def ksk_key(key, param: RnsParam, sk_old: SecretKey, sk_new: SecretKey,
+            batch=()):
+    """Key-switching key: row i encrypts s_old·g_i under s_new (same RNS
+    gadget as relinearization — rlk is the special case s_old = s_new²)."""
+    qs = param.qs
+    L = param.L
+    bq = _basis(qs)
+    k_a, k_e = prng.split(key, 2)
+    a = jnp.stack([
+        jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i * L + j),
+                                    tuple(batch) + (param.n,), q)
+                   for j, q in enumerate(qs)], 0)
+        for i in range(L)], 0)
+    e = jnp.stack([
+        _to_residues(prng.gaussian_int(jax.random.fold_in(k_e, i),
+                                       tuple(batch) + (param.n,), ERR_SIGMA), qs)
+        for i in range(L)], 0)
+    qv = _qvec(qs, a.ndim - 1)
+    mv = barrett_muv(qs, a.ndim - 1)
+    s_new = sk_new.s_evals[:L]
+    s_old = sk_old.s_evals[:L]
+    g = np.array([[(bq.hat[i] * int(bq.hat_inv[i])) % q for q in qs]
+                  for i in range(L)], np.uint64)
+    gv = jnp.asarray(g).reshape((L, L) + (1,) * (a.ndim - 2))
+    ea = jnp.stack([ntt_multi(a[i], qs) for i in range(L)], 0)
+    as_ = mulmod_v(ea, s_new[None], qv[None], mv[None])
+    sg = mulmod_v(s_old[None], gv, qv[None], mv[None])
+    ee = jnp.stack([ntt_multi(e[i], qs) for i in range(L)], 0)
+    b = _submod_v(_addmod_v(sg, ee, qv[None]), as_, qv[None])
+    return RLK(b=b, a=ea)
+
+
+def key_switch(param: RnsParam, ksk: RLK, c: CT) -> CT:
+    """(c0, 0) + Σ_i [c1]_{q_i}·KSK_i — moves c under the new key
+    (the GLWE key switch of gfhe, in RNS-gadget form)."""
+    zero = jnp.zeros_like(c.c1)
+    out = relinearize(param, ksk, c.c0, zero, c.c1)
+    return CT(out.c0, out.c1)
+
+
+def noise_budget_bits(param: RnsParam, sk: SecretKey, c: CT, m):
+    """log2 of remaining decryption headroom (the FHE health metric;
+    generalizes the reference's infinity_norm probe, ring_nq.rs:347-358).
+
+    Measures e = (c0 + c1·s) − Δ·m EXACTLY: the error residues are
+    reconstructed by centered 2-limb CRT (valid while |e| < q0·q1/2 ≈ 2^60 —
+    far beyond any decryptable noise).  budget = log2(Q/2t) − log2|e|."""
+    import math
+    qs = param.qs
+    bq = _basis(qs)
+    qv = _qvec(qs, c.c0.ndim)
+    mv = barrett_muv(qs, c.c0.ndim)
+    se = _bcast_mid(sk.s_evals[: param.L], c.c1.ndim)
+    cs = _addmod_v(
+        c.c0,
+        intt_multi(mulmod_v(ntt_multi(c.c1, qs), se, qv, mv), qs), qv)
+    delta = bq.prod // param.t
+    dm = mulmod_v(_to_residues(jnp.asarray(m, jnp.int64), qs),
+                  jnp.asarray(np.array([delta % q for q in qs], np.uint64)
+                              ).reshape(qv.shape), qv, mv)
+    err = _submod_v(cs, dm, qv)
+    q0, q1 = qs[0], qs[1]
+    r0, r1 = err[0], err[1]
+    d = modops.mulmod(modops.submod(r1, r0 % U64(q1), q1),
+                      U64(pow(q0, -1, q1)), q1)
+    v = r0 + U64(q0) * d
+    m01 = q0 * q1
+    mag = jnp.where(v > U64(m01 // 2), U64(m01 % (1 << 64)) - v, v)
+    worst = jnp.max(mag, axis=-1).astype(jnp.float64)
+    cap = math.log2(bq.prod / (2 * param.t))
+    return cap - jnp.log2(jnp.maximum(worst, 1.0))
+
+
 def mod_switch_drop(param: RnsParam, c: CT):
     """Drop the last Q prime: c' = (c - [c]_{q_last})·q_last^{-1} — the BFV
     modulus-switch noise-management step (returns ct under L-1 primes)."""
