@@ -32,7 +32,12 @@ def test_noise_budget_decreases_with_mul():
     c = R.encrypt(ks[3], param, pk, m, batch=(2,))
     fresh = np.asarray(R.noise_budget_bits(param, sk, c, m))
     c2 = R.mul(param, rlk, c, c)
-    after = np.asarray(R.noise_budget_bits(param, sk, c2, m))
+    from fhe_study_tpu.ops import ntt as ntt_mod
+    from fhe_study_tpu.ops import modops
+    m_sq = modops.coerce_i64(
+        ntt_mod.polymul_i64_crt(m.astype(jnp.int64), m.astype(jnp.int64)),
+        param.t)
+    after = np.asarray(R.noise_budget_bits(param, sk, c2, m_sq))
     assert (fresh > after).all(), (fresh, after)
     assert (fresh > 100).all()     # ~120-bit Q, tiny fresh noise
     assert (after > 1).all()       # still decryptable
