@@ -288,7 +288,7 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
     batch = x.shape[1:-1]
     xb = x.reshape((L, -1, n)).astype(jnp.uint32)
     B = xb.shape[1]
-    block_b = max(1, min(B, (4 << 20) // (n * 4)))
+    block_b = max(1, min(B, (1 << 20) // (n * 4)))
     while B % block_b:
         block_b -= 1
     if interpret is None:
@@ -334,7 +334,9 @@ def ntt_u32(x, q: int, inverse: bool = False, block_b: int | None = None,
     xb = x.reshape((-1, n)).astype(jnp.uint32)
     B = xb.shape[0]
     if block_b is None:
-        block_b = max(1, min(B, (4 << 20) // (n * 4)))
+        # ~1MB data tile: the fused stage chain holds several temporaries per
+        # stage in scoped VMEM; bigger tiles OOM Mosaic's vmem stack
+        block_b = max(1, min(B, (1 << 20) // (n * 4)))
     while B % block_b:
         block_b -= 1
     if interpret is None:
