@@ -65,13 +65,15 @@ def bench_tfhe():
         m = jnp.arange(B, dtype=jnp.uint64) % jnp.uint64(t // 2)
         c = tlwe.encrypt_uniform(ks[2], param.lwe(), s_flat,
                                  tlwe.encode(param, m), batch=(B,))
+    with jax.default_device(cpu):
+        btk_evals = bootstrap.precompute_btk_evals(param, btk)
     dev = jax.devices()[0]
-    table, btk, c = jax.tree.map(lambda x: jax.device_put(x, dev),
-                                 (table, btk, c))
+    table, btk, btk_evals, c = jax.tree.map(
+        lambda x: jax.device_put(x, dev), (table, btk, btk_evals, c))
 
     bs = jax.jit(lambda ca, cb: bootstrap.bootstrap(
         param, btk, table, tlwe.TLWE(ca, cb), beta=beta, l=l,
-        beta_ks=beta_ks, l_ks=l_ks, mode="standard"))
+        beta_ks=beta_ks, l_ks=l_ks, mode="standard", btk_evals=btk_evals))
     out = bs(c.a, c.b)
     jax.block_until_ready(out)
     t0 = time.perf_counter()

@@ -113,6 +113,10 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     invf = jnp.asarray(b.inv_f).reshape(sv.shape)
     alpha_f = jnp.sum(ys.astype(jnp.float64) * invf, axis=0)   # [..., n]
     alpha = jnp.floor(alpha_f + (0.5 if centered else 0.0)).astype(jnp.uint64)
+    from ..ops.ntt import _pallas_ok
+    if all(_pallas_ok(q, 128) for q in src + dst):
+        from ..ops import ext_pallas
+        return ext_pallas.base_extend_sum(ys, alpha, src, dst)
     # out_j = Σ_i (y_i · tab[i,j]) − α·S   (mod d_j).  Accumulate in pairs of
     # raw u64 products (2·2^62 < 2^64) with one Barrett per pair — avoids
     # materializing the full [Ls, Ld, ...] product tensor.

@@ -90,9 +90,16 @@ def new_bootstrapping_key(key, param: Param, s_tglwe,
         s_lwe_out
 
 
+def precompute_btk_evals(param: Param, btk: BootstrappingKey):
+    """Transform the whole bootstrapping key to the CRT-NTT domain once
+    (the production Fourier-BSK layout); pass the result to blind_rotation /
+    bootstrap via btk_evals to amortize across calls."""
+    return tggsw_mod.precompute_evals(param, TGGSW(a=btk.btk_a, b=btk.btk_b))
+
+
 def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
                    beta: int = 2, l: int = 64, mode: str = "standard",
-                   fast: bool = True) -> GLWE:
+                   fast: bool = True, btk_evals=None) -> GLWE:
     """acc = v·X^{-b'} ; for each key bit j: acc = CMux(btk_j, acc, acc·X^{+a'_j}).
 
     Final rotation ≈ -(b' - Σ a'_j s_j) = -phase(m).  The chain runs as a
@@ -117,7 +124,10 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
     a_T = jnp.moveaxis(c2.a, -1, 0)                        # [kn, ...batch]
     use_fast = fast and (param.k + 1) * l * n * beta < (1 << 28)
     if use_fast:
-        gev = tggsw_mod.precompute_evals(
+        # Fourier-domain BSK: use the precomputed transform when the caller
+        # supplies one (btk_evals), else transform here (amortized only over
+        # this call's batch)
+        gev = btk_evals if btk_evals is not None else tggsw_mod.precompute_evals(
             param, TGGSW(a=btk.btk_a, b=btk.btk_b))        # [kn, ...]
 
         def step_fast(acc, inputs):
@@ -145,9 +155,11 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
 def bootstrap(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
               beta: int = 2, l: int = 64,
               beta_ks: int = 2, l_ks: int = 64,
-              mode: str = "standard", fast: bool = True) -> TLWE:
+              mode: str = "standard", fast: bool = True,
+              btk_evals=None) -> TLWE:
     """blind rotation -> sample_extraction(0) -> key switch (tlwe.rs:150-161)."""
-    rotated = blind_rotation(param, btk, table, c, beta, l, mode, fast=fast)
+    rotated = blind_rotation(param, btk, table, c, beta, l, mode, fast=fast,
+                             btk_evals=btk_evals)
     c_h = tglwe_mod.sample_extraction(param, rotated, 0)
     ksk = tlwe_mod.KSK(a=btk.ksk_a, b=btk.ksk_b)
     return tlwe_mod.key_switch(param.lwe(), beta_ks, l_ks, ksk, c_h)

@@ -1,0 +1,94 @@
+"""Fused Pallas kernel for the RNS fast base extension (HPS conversion).
+
+After the NTTs, base extension is the RNS stack's hottest op: for every
+coefficient, out_j = Σ_i y_i·tab[i,j] − α·(S mod d_j)  (mod d_j) over all
+(src × dst) prime pairs.  The XLA path streams several [Ls or Ld, B, n]
+tensors through HBM per step; this kernel reads the y-block ONCE and runs the
+whole (Ls × Ld) contraction in VMEM with u32 Montgomery arithmetic (tables
+pre-lifted to each destination's Montgomery domain — every product is ~15 VPU
+ops, no 64-bit emulation).
+
+The α term (floor/round of Σ y_i/s_i) needs f64 and stays in XLA (cheap,
+elementwise); the kernel consumes it as a u32 input.
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ntt_pallas import _mont_mul, _addmod, _submod, _mont32_consts, _on_tpu
+
+U32 = jnp.uint32
+LANE_TILE = 2048  # coefficients per block (the op is fully per-coefficient)
+
+
+@lru_cache(maxsize=None)
+def _ext_consts(src: tuple, dst: tuple):
+    """Montgomery-domain tables: tab_mont[i][j] = ((S/s_i) << 32) mod d_j,
+    smod_mont[j] = (S << 32) mod d_j, plus per-dst nqinv."""
+    S = 1
+    for s in src:
+        S *= s
+    tab = np.zeros((len(src), len(dst)), np.uint32)
+    smod = np.zeros((len(dst),), np.uint32)
+    nqinv = np.zeros((len(dst),), np.uint32)
+    for j, d in enumerate(dst):
+        nqinv[j] = _mont32_consts(d)[0]
+        smod[j] = (S % d << 32) % d
+        for i, s in enumerate(src):
+            tab[i, j] = ((S // s) % d << 32) % d
+    return tab, smod, nqinv
+
+
+def _ext_kernel(ys_ref, alpha_ref, out_ref, *, src, dst, tab, smod, nqinv):
+    al = alpha_ref[...]
+    for j, d in enumerate(dst):
+        nq = int(nqinv[j])
+        acc = _mont_mul(ys_ref[0], U32(int(tab[0, j])), d, nq)
+        for i in range(1, len(src)):
+            term = _mont_mul(ys_ref[i], U32(int(tab[i, j])), d, nq)
+            acc = _addmod(acc, term, d)
+        corr = _mont_mul(al, U32(int(smod[j])), d, nq)
+        out_ref[j] = _submod(acc, corr, d)
+
+
+def base_extend_sum(ys, alpha, src: tuple, dst: tuple,
+                    interpret: bool | None = None):
+    """ys: [Ls, ..., n] u64 (values < s_i < 2^31), alpha: [..., n] u64
+    (< Ls) -> [Ld, ..., n] u64 residues of Σ y_i·Q̂_i − α·S per dst prime."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    tab, smod, nqinv = _ext_consts(src, dst)
+    Ls, Ld = len(src), len(dst)
+    batch = ys.shape[1:]
+    total = int(np.prod(batch))
+    ys32 = ys.reshape(Ls, total).astype(U32)
+    al32 = alpha.reshape(total).astype(U32)
+    tile = LANE_TILE
+    pad = (-total) % tile
+    if pad:
+        ys32 = jnp.pad(ys32, ((0, 0), (0, pad)))
+        al32 = jnp.pad(al32, ((0, pad),))
+    m = ys32.shape[1]
+    kern = partial(_ext_kernel, src=src, dst=dst, tab=tab, smod=smod,
+                   nqinv=nqinv)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Ld, m), jnp.uint32),
+        grid=(m // tile,),
+        in_specs=[
+            pl.BlockSpec((Ls, tile), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Ld, tile), lambda i: (i * 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ys32, al32)
+    if pad:
+        out = out[:, :total]
+    return out.reshape((Ld,) + batch).astype(jnp.uint64)
