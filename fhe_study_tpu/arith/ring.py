@@ -15,7 +15,6 @@ reduce/inverse-transform pipeline (MXU/VPU-shaped, no per-element loops).
 """
 
 from dataclasses import dataclass
-from functools import cached_property
 
 import jax.numpy as jnp
 

@@ -10,7 +10,6 @@ functional analog of the reference's lazy `evals` cache (ring_nq.rs:24-26).
 import jax.numpy as jnp
 
 from ..ops import modops, ntt
-from ..utils.rounding import round_half_away
 
 U64 = jnp.uint64
 

@@ -23,7 +23,7 @@ from ...ops.ntt import (ntt_multi, intt_multi, mulmod_v, _qvec, _addmod_v,
                         _submod_v, barrett_muv)
 from ...ops.primes import ntt_primes
 from ...utils import prng
-from ..bfv_rns import _basis, _to_residues, _bcast_mid
+from ..bfv_rns import _to_residues, _bcast_mid
 from . import encoder_device
 
 ERR_SIGMA = 3.2

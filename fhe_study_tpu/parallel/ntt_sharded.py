@@ -21,12 +21,12 @@ B[k2, k1] = â_{k2 + n2·k1} with the k2 axis (size n2) sharded into S row
 blocks.
 """
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import modops, ntt
 

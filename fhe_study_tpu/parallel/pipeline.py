@@ -12,8 +12,6 @@ staging it across device groups would only add bubble overhead (documented
 decision per SURVEY §2.6).
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
