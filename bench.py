@@ -71,9 +71,15 @@ def bench_tfhe():
     table, btk, btk_evals, c = jax.tree.map(
         lambda x: jax.device_put(x, dev), (table, btk, btk_evals, c))
 
-    bs = jax.jit(lambda ca, cb: bootstrap.bootstrap(
-        param, btk, table, tlwe.TLWE(ca, cb), beta=beta, l=l,
-        beta_ks=beta_ks, l_ks=l_ks, mode="standard", btk_evals=btk_evals))
+    # NB: keys/tables passed as ARGUMENTS — closed-over arrays become HLO
+    # constants and blow up the remote-compile request (HTTP 413)
+    def _bs(ca, cb, btk_, table_, ev_):
+        return bootstrap.bootstrap(
+            param, btk_, table_, tlwe.TLWE(ca, cb), beta=beta, l=l,
+            beta_ks=beta_ks, l_ks=l_ks, mode="standard", btk_evals=ev_)
+
+    bs_jit = jax.jit(_bs)
+    bs = lambda ca, cb: bs_jit(ca, cb, btk, table, btk_evals)  # noqa: E731
     out = bs(c.a, c.b)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -180,8 +186,9 @@ def main():
     rlk, c1, c2 = jax.tree.map(
         lambda x: jax.device_put(x, dev), (rlk, c1, c2))  # sk stays on CPU
 
-    mul = jax.jit(lambda x0, x1, y0, y1: R.mul(param, rlk, R.CT(x0, x1),
-                                               R.CT(y0, y1)))
+    mul_jit = jax.jit(lambda x0, x1, y0, y1, rb, ra: R.mul(
+        param, R.RLK(rb, ra), R.CT(x0, x1), R.CT(y0, y1)))
+    mul = lambda x0, x1, y0, y1: mul_jit(x0, x1, y0, y1, rlk.b, rlk.a)  # noqa: E731
     args = (c1.c0, c1.c1, c2.c0, c2.c1)
     out = mul(*args)                      # compile + warmup
     jax.block_until_ready(out)
