@@ -21,6 +21,15 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
-from .arith.params import RingParam  # noqa: E402,F401
+from .arith.params import RingParam, TORUS_Q  # noqa: E402,F401
+from .arith.ring import RqRing, TorusRing, ring_for  # noqa: E402,F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy subpackage access: fhe_study_tpu.models / .ops / .parallel / ...
+    if name in ("arith", "models", "ops", "parallel", "utils", "runtime"):
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)
