@@ -348,7 +348,8 @@ def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     mv = barrett_muv(qs, c0.ndim)
     # digits [L_rows, L_primes, ..., n]: d_i mod q_j  (digit < 2^31 -> barrett)
     d = barrett_red(c2[:, None, ...], qv[None, ...], mv[None, ...])
-    ed = jnp.stack([ntt_multi(d[i], qs) for i in range(L)], 0)
+    # one transform launch for the whole (rows × primes) digit grid
+    ed = ntt_multi(d.reshape((L * L,) + d.shape[2:]), qs * L).reshape(d.shape)
     rb = _bcast_mid(rlk.b, ed.ndim, lead=2)
     ra = _bcast_mid(rlk.a, ed.ndim, lead=2)
     acc0 = barrett_red(jnp.sum(mulmod_v(ed, rb, qv[None], mv[None]), axis=0),
