@@ -5,8 +5,10 @@ Times each pipeline stage jitted in isolation; guides kernel work.
 """
 
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("FHE_USE_PALLAS_NTT", "1")
 
 import jax
