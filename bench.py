@@ -166,7 +166,7 @@ def main():
     L = int(os.environ.get("FHE_BENCH_L", 4))
     M = int(os.environ.get("FHE_BENCH_M", 5))
     t = int(os.environ.get("FHE_BENCH_T", 256))
-    B = int(os.environ.get("FHE_BENCH_B", 16))
+    B = int(os.environ.get("FHE_BENCH_B", 64))
     iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
 
     param = R.RnsParam(n=n, t=t, L=L, M=M)
