@@ -153,9 +153,15 @@ def external_product_evals(param: Param, gev: TGGSWEvals, c: GLWE,
                            beta: int, l: int) -> GLWE:
     """TGGSW ⊠ TGLWE with a pre-transformed key: forward-NTT only the (K+1)·l
     digit polys (single limb), reduce over the grid in the eval domain,
-    4·(K+1) inverse transforms, exact CRT recombination mod 2^64."""
+    inverse transforms, exact CRT recombination mod 2^64.
+
+    Both CRT primes ride the MULTI-prime transform path (one kernel launch
+    per direction) and Barrett vector-modulus arithmetic."""
     from ...ops import ntt as ntt_mod
-    p1, p2 = ntt_mod.CRT_PRIMES[:2]
+    from ...ops.ntt import (ntt_multi, intt_multi, mulmod_v, _qvec,
+                            barrett_muv, barrett_red, _submod_v)
+    pq = ntt_mod.CRT_PRIMES[:2]
+    p1, p2 = pq
     m12 = p1 * p2
     p1_inv_p2 = pow(p1, -1, p2)
     k, n = param.k, param.ring.n
@@ -165,16 +171,23 @@ def external_product_evals(param: Param, gev: TGGSWEvals, c: GLWE,
     d = tn.decompose(ab, beta, l)                             # [l, ..., K+1, N]
     d = jnp.moveaxis(d, 0, -2)                                # [..., K+1, l, N]
 
-    def half(ev, p):
-        ed = ntt_mod.ntt(d % U64(p), p)                       # digits: 1 limb
-        # [..., K+1r, l, 1, 1, N] × [..., K+1r, l, K+1c, 2, N] -> reduce rows,l
-        prod = (ed[..., :, :, None, None, :] * ev.astype(jnp.uint64)) % U64(p)
-        s = jnp.sum(prod, axis=(-5, -4)) % U64(p)             # [..., K+1c, 2, N]
-        return ntt_mod.intt(s, p)
-
-    r1 = half(gev.ev1, p1)
-    r2 = half(gev.ev2, p2)
-    diff12 = modops.submod(r2, r1 % U64(p2), p2)
+    dd = jnp.stack([d % U64(p1), d % U64(p2)], 0)             # [2, ..., K+1, l, N]
+    ed = ntt_multi(dd, pq)
+    ev = jnp.stack([gev.ev1, gev.ev2], 0).astype(jnp.uint64)  # [2, r, l, c, 2, N]
+    edx = ed[..., :, :, None, None, :]                        # [2, .., r, l, 1, 1, N]
+    extra = edx.ndim - ev.ndim          # ciphertext batch dims absent in the key
+    if extra > 0:
+        ev = ev.reshape(ev.shape[:1] + (1,) * extra + ev.shape[1:])
+    qv = _qvec(pq, edx.ndim)
+    mv = barrett_muv(pq, edx.ndim)
+    prod = mulmod_v(edx, ev, qv, mv)
+    s = barrett_red(jnp.sum(prod, axis=(-5, -4)),
+                    _qvec(pq, edx.ndim - 2), barrett_muv(pq, edx.ndim - 2))
+    # s: [2, ..., K+1c, 2limb, N] -> inverse transform both primes at once
+    r = intt_multi(s, pq)
+    r1, r2 = r[0], r[1]
+    diff12 = _submod_v(r2, barrett_red(r1, jnp.uint64(p2), jnp.uint64((1 << 62) // p2)),
+                       jnp.uint64(p2))
     delta = (diff12 * U64(p1_inv_p2)) % U64(p2)
     gk = r1 + U64(p1) * delta                                 # in [0, p1*p2)
     gk = jnp.where(gk > U64(m12 // 2), gk - U64(m12 % (1 << 64)), gk)
