@@ -152,6 +152,62 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
     return acc
 
 
+class ShortBootstrappingKey(NamedTuple):
+    """Keys for the keyswitch-FIRST pipeline over a short LWE dimension
+    n_lwe < K·N: KSK (kn -> n_lwe) + per-bit TGGSWs of the short key."""
+    btk_a: jax.Array   # [n_lwe, K+1, l, K, N]
+    btk_b: jax.Array   # [n_lwe, K+1, l, N]
+    ksk_a: jax.Array   # [kn, l_ks, n_lwe]
+    ksk_b: jax.Array   # [kn, l_ks]
+
+
+def new_short_bootstrapping_key(key, param: Param, s_tglwe, n_lwe: int,
+                                beta: int = 256, l: int = 3,
+                                beta_ks: int = 16, l_ks: int = 8
+                                ) -> ShortBootstrappingKey:
+    """Production TFHE key layout (the reference has no analog — its chain
+    length is always K·N, tlwe.rs:139-147): an intermediate SHORT LWE key
+    s' of dimension n_lwe cuts the CMux chain from K·N to n_lwe steps.
+
+    Pipeline (bootstrap_short): key_switch kn->n_lwe FIRST, then blind-rotate
+    over n_lwe bits, then sample-extract — the output lands back under the
+    ORIGINAL extracted key s_flat, so bootstraps compose without a trailing
+    key switch."""
+    kn = param.kn
+    assert n_lwe < kn, "short dimension must shrink the chain"
+    k_short, k_btk, k_ksk = prng.split(key, 3)
+    s_flat = tglwe_mod.sk_to_tlwe(s_tglwe)                  # [kn]
+    s_short = prng.binary(k_short, (n_lwe,))
+    n = param.ring.n
+    bits_poly = jnp.zeros((n_lwe, n), U64).at[:, 0].set(s_short)
+    g = tggsw_mod.encrypt_s(k_btk, param, beta, l, s_tglwe, bits_poly,
+                            batch=(n_lwe,))
+    ksk = tlwe_mod.new_ksk(k_ksk, param.lwe(), beta_ks, l_ks,
+                           s_flat, s_short, uniform_mask=True)
+    return ShortBootstrappingKey(btk_a=g.a, btk_b=g.b,
+                                 ksk_a=ksk.a, ksk_b=ksk.b)
+
+
+def precompute_short_btk_evals(param: Param, sbtk: ShortBootstrappingKey):
+    return tggsw_mod.precompute_evals(param,
+                                      TGGSW(a=sbtk.btk_a, b=sbtk.btk_b))
+
+
+def bootstrap_short(param: Param, sbtk: ShortBootstrappingKey, table: GLWE,
+                    c: TLWE, beta: int = 256, l: int = 3,
+                    beta_ks: int = 16, l_ks: int = 8,
+                    btk_evals=None) -> TLWE:
+    """key_switch (kn -> n_lwe) -> blind rotation (n_lwe CMux steps) ->
+    sample_extraction.  Input and output both live under s_flat."""
+    ksk = tlwe_mod.KSK(a=sbtk.ksk_a, b=sbtk.ksk_b)
+    c_short = tlwe_mod.key_switch(param.lwe(), beta_ks, l_ks, ksk, c)
+    btk = BootstrappingKey(btk_a=sbtk.btk_a, btk_b=sbtk.btk_b,
+                           ksk_a=sbtk.ksk_a, ksk_b=sbtk.ksk_b)
+    rotated = blind_rotation(param, btk, table, c_short, beta, l,
+                             mode="standard", btk_evals=btk_evals)
+    return tglwe_mod.sample_extraction(param, rotated, 0)
+
+
 def bootstrap(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
               beta: int = 2, l: int = 64,
               beta_ks: int = 2, l_ks: int = 64,

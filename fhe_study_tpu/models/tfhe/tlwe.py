@@ -147,16 +147,23 @@ def mod_switch(c: TLWE, q2: int) -> TLWE:
     return TLWE(tn.mod_switch(c.a, q2), tn.mod_switch(c.b, q2))
 
 
-def new_ksk(key, param: Param, beta: int, l: int, s_src, s_dst, batch=()) -> KSK:
+def new_ksk(key, param: Param, beta: int, l: int, s_src, s_dst, batch=(),
+            uniform_mask: bool = False) -> KSK:
     """KSK[i] = TLev_s_dst(s_src_i), levels i=1..l (tlwe.rs:84-100).
 
-    Built as ONE batched encryption over the (kn_src, l) grid."""
-    kn = param.kn
+    Built as ONE batched encryption over the (kn_src, l) grid.  Source and
+    destination dimensions come from the key arrays (they may differ — the
+    short-LWE bootstrap switches kn -> n_lwe).  uniform_mask=True uses the
+    standard uniform LWE mask instead of the reference's binary-mask quirk
+    (glwe.rs:149)."""
+    kn_src = s_src.shape[-1]
+    kn_dst = s_dst.shape[-1]
     scales = _tlev_scales(beta, l)                       # [l]
-    msgs = s_src[..., :, None] * scales                  # [..., kn, l]
+    msgs = s_src[..., :, None] * scales                  # [..., kn_src, l]
     k_a, k_e = prng.split(key, 2)
-    shape = tuple(batch) + (kn, l)
-    a = prng.binary(k_a, shape + (kn,))                  # reference mask quirk
+    shape = tuple(batch) + (kn_src, l)
+    mask = prng.uniform_u64 if uniform_mask else prng.binary
+    a = mask(k_a, shape + (kn_dst,))
     e = prng.gaussian_torus(k_e, shape, param.err_sigma)
     b = jnp.sum(a * s_dst[..., None, None, :], axis=-1) + msgs + e
     return KSK(a=a, b=b)

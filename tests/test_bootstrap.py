@@ -95,3 +95,34 @@ def test_bootstrap_refreshes_noise():
     err = np.minimum(d1, d2)
     # the injected offset (2^64/64) must be gone: residual < 2^54
     assert (err < np.uint64(1 << 54)).all(), err
+
+
+def test_bootstrap_short_lwe():
+    """Keyswitch-first pipeline over a short intermediate LWE key: the CMux
+    chain shrinks from kn=128 to n_lwe=64 steps, and the output returns
+    under the ORIGINAL key (bootstraps compose without a trailing switch)."""
+    n, t = 128, 8
+    param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
+    k1, k2, k3 = prng.split(jax.random.PRNGKey(5), 3)
+    table = bootstrap.compute_lookup_table_standard(param)
+    s, _ = tglwe.new_key(k1, param)
+    s_flat = tglwe.sk_to_tlwe(s)
+    sbtk = bootstrap.new_short_bootstrapping_key(
+        k2, param, s, n_lwe=64, beta=256, l=3, beta_ks=16, l_ks=8)
+
+    B = 8
+    m = jnp.tile(jnp.arange(t // 2, dtype=jnp.uint64), B // (t // 2) + 1)[:B]
+    c = tlwe.encrypt_uniform(k3, param.lwe(), s_flat, tlwe.encode(param, m),
+                             batch=(B,))
+    assert int(jnp.max(c.a)) > 1 << 60     # real uniform masks
+
+    out = bootstrap.bootstrap_short(param, sbtk, table, c,
+                                    beta=256, l=3, beta_ks=16, l_ks=8)
+    rec = tlwe.decode(param, tlwe.decrypt(param.lwe(), s_flat, out))
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
+
+    # composability: bootstrap the OUTPUT again directly
+    out2 = bootstrap.bootstrap_short(param, sbtk, table, out,
+                                     beta=256, l=3, beta_ks=16, l_ks=8)
+    rec2 = tlwe.decode(param, tlwe.decrypt(param.lwe(), s_flat, out2))
+    np.testing.assert_array_equal(np.asarray(rec2), np.asarray(m))
