@@ -1,0 +1,167 @@
+"""Hybrid (P-extended / GHS-style) key switching for the RNS schemes.
+
+The plain RNS-gadget key switch (bfv_rns.ksk_key/key_switch) has noise
+~ sqrt(n L) * 2^30 * sigma — fine for BFV's huge Q/t headroom, but it
+dominates CKKS rotation error.  The production fix (SEAL/OpenFHE "hybrid"
+keyswitching, eprint 2012/099 + RNS refinements): encrypt the key material
+scaled by an auxiliary modulus P = prod(p_j), do the digit contraction over
+the extended basis Q u P, and divide the result by P with rounding — the
+gadget noise shrinks by a factor P (~2^60 with two extension primes),
+leaving only the tiny rounding term.
+
+All pieces ride existing machinery: digits of a single-prime residue extend
+to other primes by plain Barrett reduction (they are integers < q_i), the
+P-division is one centered fast_base_extend + exact scaling, and the
+contraction is the same NTT-domain gadget product as relinearization.
+"""
+
+import math
+from functools import lru_cache
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.ntt import (ntt_multi, intt_multi, mulmod_v, _qvec, _addmod_v,
+                       _submod_v, barrett_muv, barrett_red)
+from ..ops.primes import ntt_primes
+from ..utils import prng
+from . import bfv_rns
+from .bfv_rns import _basis, _bcast_mid, _to_residues, ERR_SIGMA
+
+
+class HybridKSK(NamedTuple):
+    """L gadget rows over the EXTENDED basis Q u P, NTT domain:
+    b, a: [L_rows, L+K_primes, ..., N]."""
+    b: jax.Array
+    a: jax.Array
+
+
+def ks_ext_primes(param, K: int = 2) -> tuple:
+    """K auxiliary primes, disjoint from the scheme's Q (and P, if any)."""
+    skip = param.L + getattr(param, "M", 0)
+    return ntt_primes(K, param.prime_bits, 1 << 16, skip=skip)
+
+
+def _centered_coeffs(param, s_evals_q):
+    """NTT(s) over Q -> small signed coefficients (|s| <= q0/4 assumed —
+    secret keys are binary/ternary)."""
+    qs = param.qs
+    s_res = intt_multi(s_evals_q[: param.L], qs)
+    r0 = s_res[0]
+    q0 = qs[0]
+    return jnp.where(r0 > jnp.uint64(q0 // 2),
+                     r0.astype(jnp.int64) - jnp.int64(q0),
+                     r0.astype(jnp.int64))
+
+
+def _evals_over(param, s_coeffs, primes: tuple):
+    return ntt_multi(_to_residues(s_coeffs, primes), primes)
+
+
+def hybrid_ksk(key, param, s_old_evals, s_new_evals, K: int = 2) -> HybridKSK:
+    """Row i encrypts P * g_i * s_old under s_new over basis Q u P
+    (g_i = the RNS gadget of bfv_rns.ksk_key; P*g_i == 0 mod every p_j)."""
+    qs = param.qs
+    ps = ks_ext_primes(param, K)
+    both = qs + ps
+    L, n = param.L, param.n
+    bq = _basis(qs)
+    P = 1
+    for p in ps:
+        P *= p
+    s_old = _centered_coeffs(param, s_old_evals)
+    s_new = _centered_coeffs(param, s_new_evals)
+    se_old = _evals_over(param, s_old, both)
+    se_new = _evals_over(param, s_new, both)
+    k_a, k_e = prng.split(key, 2)
+    nb = len(both)
+    a = jnp.stack([
+        jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i * nb + j),
+                                    (n,), q) for j, q in enumerate(both)], 0)
+        for i in range(L)], 0)                     # [L_rows, L+K, n]
+    e = jnp.stack([
+        _to_residues(prng.gaussian_int(jax.random.fold_in(k_e, i), (n,),
+                                       ERR_SIGMA), both)
+        for i in range(L)], 0)
+    bv = _qvec(both, a.ndim - 1)
+    mv = barrett_muv(both, a.ndim - 1)
+    # msg_i residues: (P * Qhat_i * [Qhat_i^{-1}]_{q_i}) mod q_j ; 0 mod p_j
+    g = np.array([[(P * bq.hat[i] * int(bq.hat_inv[i])) % q for q in both]
+                  for i in range(L)], np.uint64)
+    gv = jnp.asarray(g).reshape((L, nb) + (1,) * (a.ndim - 2))
+    ea = jnp.stack([ntt_multi(a[i], both) for i in range(L)], 0)
+    as_ = mulmod_v(ea, se_new[None], bv[None], mv[None])
+    sg = mulmod_v(se_old[None], gv, bv[None], mv[None])
+    ee = jnp.stack([ntt_multi(e[i], both) for i in range(L)], 0)
+    b = _submod_v(_addmod_v(sg, ee, bv[None]), as_, bv[None])
+    return HybridKSK(b=b, a=ea)
+
+
+def _div_by_P_round(param, acc, ps: tuple):
+    """acc: coeff-domain [L+K, ..., n] residues of X over Q u P ->
+    round(X / P) over Q (exact: subtract the centered remainder, multiply
+    by P^{-1} mod Q)."""
+    qs = param.qs
+    L = param.L
+    P = 1
+    for p in ps:
+        P *= p
+    qv = _qvec(qs, acc.ndim - 0)
+    frac = bfv_rns.fast_base_extend(acc[L:], ps, qs, centered=True)
+    qv = _qvec(qs, frac.ndim)
+    mv = barrett_muv(qs, frac.ndim)
+    pinv = jnp.asarray(np.array([pow(P, -1, q) for q in qs], np.uint64)
+                       ).reshape(qv.shape)
+    return mulmod_v(_submod_v(acc[:L], frac, qv), pinv, qv, mv)
+
+
+def hybrid_key_switch(param, hksk: HybridKSK, c) -> "bfv_rns.CT":
+    """(c0, 0) + round(P^{-1} * sum_i [c1]_{q_i} * KSK_i) — the low-noise
+    switch.  c may carry batch axes."""
+    qs = param.qs
+    L = param.L
+    K = hksk.b.shape[1] - L
+    ps = ks_ext_primes(param, K)
+    both = qs + ps
+    bv = _qvec(both, c.c1.ndim)
+    bmu = barrett_muv(both, c.c1.ndim)
+    # digits: [L_rows, L+K, ..., n]; row i = c1's limb-i residue mod each
+    # prime of the extended basis (integers < q_i -> plain reduction)
+    d = barrett_red(c.c1[:, None, ...], bv[None, ...], bmu[None, ...])
+    ed = ntt_multi(d.reshape((L * len(both),) + d.shape[2:]),
+                   both * L).reshape(d.shape)
+    rb = _bcast_mid(hksk.b, ed.ndim, lead=2)
+    ra = _bcast_mid(hksk.a, ed.ndim, lead=2)
+    acc0 = barrett_red(jnp.sum(mulmod_v(ed, rb, bv[None], bmu[None]), axis=0),
+                       bv, bmu)
+    acc1 = barrett_red(jnp.sum(mulmod_v(ed, ra, bv[None], bmu[None]), axis=0),
+                       bv, bmu)
+    acc0 = intt_multi(acc0, both)
+    acc1 = intt_multi(acc1, both)
+    r0 = _div_by_P_round(param, acc0, ps)
+    r1 = _div_by_P_round(param, acc1, ps)
+    qv = _qvec(qs, r0.ndim)
+    return bfv_rns.CT(_addmod_v(c.c0, r0, qv), r1)
+
+
+# -- Galois integration ------------------------------------------------------
+
+def galois_key_hybrid(key, param, sk, g: int, K: int = 2) -> HybridKSK:
+    """Hybrid Galois key: phi_g(s) -> s with P-suppressed noise."""
+    from . import galois
+    qs = param.qs
+    s_coeffs_res = intt_multi(sk.s_evals[: param.L], qs)
+    sg = galois.apply_galois(s_coeffs_res, g, qs)
+    return hybrid_ksk(key, param, ntt_multi(sg, qs), sk.s_evals[: param.L],
+                      K=K)
+
+
+def rotate_hybrid(param, hgk: HybridKSK, ct, g: int):
+    from . import galois
+    qs = param.qs
+    c0 = galois.apply_galois(ct.c0, g, qs)
+    c1 = galois.apply_galois(ct.c1, g, qs)
+    out = hybrid_key_switch(param, hgk, bfv_rns.CT(c0, c1))
+    return type(ct)(out.c0, out.c1)

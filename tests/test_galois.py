@@ -119,3 +119,43 @@ def test_ckks_rotation():
     got = np.asarray(rr) + 1j * np.asarray(ri)
     # key-switch noise ~ sqrt(n L) * 2^30 * sigma / delta ≈ 2^-4 absolute
     np.testing.assert_allclose(got, want, atol=0.5)
+
+
+def test_hybrid_key_switch_bfv():
+    """P-extended key switch moves a ciphertext between keys with tiny
+    noise (decrypt stays exact)."""
+    from fhe_study_tpu.models import hybrid_ks as H
+    param = R.RnsParam(n=64, t=65537, L=3, M=4)
+    ks = prng.split(jax.random.PRNGKey(11), 5)
+    sk1, pk1 = R.new_key(ks[0], param)
+    sk2, _ = R.new_key(ks[1], param)
+    m = prng.uniform_mod(ks[2], (param.n,), param.t)
+    c = R.encrypt(ks[3], param, pk1, m)
+    hksk = H.hybrid_ksk(ks[4], param, sk1.s_evals, sk2.s_evals)
+    c2 = H.hybrid_key_switch(param, hksk, c)
+    rec = np.asarray(R.decrypt(param, sk2, c2))
+    np.testing.assert_array_equal(rec, np.asarray(m))
+
+
+def test_ckks_rotation_hybrid_low_noise():
+    """Hybrid Galois key makes CKKS rotation accurate at delta = 2^25
+    (the plain gadget key needs 2^45; P suppresses the digit noise)."""
+    from fhe_study_tpu.models import hybrid_ks as H
+    from fhe_study_tpu.models.ckks import ckks_rns as C
+    param = C.Param(n=64, L=3, delta=2.0 ** 25)
+    ks = prng.split(jax.random.PRNGKey(12), 3)
+    sk, pk = C.new_key(ks[0], param)
+    rng = np.random.default_rng(13)
+    z_re = rng.uniform(-10, 10, param.n // 2)
+    z_im = rng.uniform(-10, 10, param.n // 2)
+    c = C.encrypt(ks[1], param, pk,
+                  C.encode(param, jnp.asarray(z_re), jnp.asarray(z_im)))
+    g = galois.rotation_element(param.n, 1)
+    hgk = H.galois_key_hybrid(ks[2], param, sk, g)
+    c_rot = H.rotate_hybrid(param, hgk, c, g)
+    rr, ri = C.decode(param, C.decrypt_to_coeffs(param, sk, c_rot))
+    perm, conj = galois.ckks_slot_perm(param.n, g)
+    want = (z_re + 1j * z_im)[perm]
+    want = np.where(conj, want.conj(), want)
+    got = np.asarray(rr) + 1j * np.asarray(ri)
+    np.testing.assert_allclose(got, want, atol=2e-3)
