@@ -100,10 +100,21 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     centered=True : value v interpreted in (−S/2, S/2) -> α = round(Σ y_i/s_i)
     (the tensor's negacyclic folds produce SIGNED values; the centered
     interpretation recovers them exactly — BEHZ's signed-representative
-    handling, done with f64 correction à la HPS.  The ~2^-50-wide f64
-    boundary can mis-round α by 1, shifting the value by ±S ≡ ±Q·(junk):
-    harmless on tensor operands — Q-multiples become t-multiples after the
-    t/Q scaling and vanish mod t at decryption.)"""
+    handling, done with f64 correction à la HPS.)
+
+    Exactness analysis (how each caller dodges the f64 α boundary):
+      * centered=True (the tensor's r = round(t·w/Q), |r| ≤ t·n·Q/4 + 1):
+        the capacity assert in _tensor enforces P > 4·t·n·Q, so |v|/S ≤ 1/16
+        and the true Σ y_i/s_i sits ≥ 7/16 away from the round-half
+        boundary.  The f64 evaluation error is ≤ Ls·2^-52 (each term ≤ 1),
+        so α is DETERMINISTICALLY exact — no probabilistic 2^-50 boundary.
+        Pinned by test_base_extend_centered_boundary_exact.
+      * centered=False on tensor operands (c Q→P): a boundary mis-floor
+        shifts the value by +Q; the tensor then differs by Q·(junk), which
+        the t/Q scaling turns into a multiple of t — vanishes mod t at
+        decryption (eprint 2018/117 §3 makes the same argument).
+      * centered=False on w_q (the [w·t]_Q lift): a slip of +Q changes r by
+        ±1 — one unit of additive noise, absorbed by the noise budget."""
     b = _basis(src)
     tab, smod = _ext_table(src, dst)
     sv = _qvec(src, x.ndim)

@@ -80,6 +80,28 @@ import os as _os
 # on TPU.  Off by default until profiled; enable with FHE_USE_PALLAS_NTT=1.
 _USE_PALLAS = _os.environ.get("FHE_USE_PALLAS_NTT") == "1"
 
+# Route multi-prime transforms through the MXU four-step matmul formulation
+# (ops/ntt_mxu.py) — preferred over the VPU butterfly kernel at large n.
+_USE_MXU = _os.environ.get("FHE_USE_MXU_NTT") == "1"
+
+
+def _mxu_ok(qs, n: int) -> bool:
+    if not _USE_MXU or n & (n - 1):
+        return False
+    from . import ntt_mxu
+    if not ntt_mxu.mxu_supported(n):
+        return False
+    if any(q >= (1 << 31) for q in qs):
+        return False
+    try:
+        import jax as _jax
+        dd = _jax.config.jax_default_device
+        if dd is not None:
+            return getattr(dd, "platform", "") in ("tpu", "axon")
+        return _jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
 
 def _pallas_ok(q: int, n: int) -> bool:
     if not _USE_PALLAS or q >= (1 << 31) or n < 128 or n % 128:
@@ -220,6 +242,9 @@ def ntt_multi(a, qs: tuple):
     assert L == len(qs)
     if n == 1:
         return a
+    if _mxu_ok(qs, n):
+        from . import ntt_mxu
+        return ntt_mxu.ntt_multi_mxu(a, qs)
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
         return ntt_pallas.ntt_multi_u32(a, qs)
@@ -246,6 +271,9 @@ def intt_multi(a, qs: tuple):
     L = a.shape[0]
     if n == 1:
         return a
+    if _mxu_ok(qs, n):
+        from . import ntt_mxu
+        return ntt_mxu.intt_multi_mxu(a, qs)
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
         return ntt_pallas.ntt_multi_u32(a, qs, inverse=True)

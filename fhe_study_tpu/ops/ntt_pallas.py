@@ -170,10 +170,11 @@ def _ntt_kernel(x_ref, tw_ref, o_ref, *, q, n, inverse, nqinv, n_inv_mont):
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         if not inverse:
-            # CT: out = first ? x + S*y : y - S*x
-            sy = _mont_mul(y, tw, q, nqinv)
-            sx = _mont_mul(x, tw, q, nqinv)
-            x = jnp.where(first, _addmod(x, sy, q), _submod(y, sx, q))
+            # CT: out = first ? x + S*y : y - S*x.  The multiplicand is y in
+            # the first half and x (self) in the second — ONE montmul on the
+            # merged operand instead of two.
+            p = _mont_mul(jnp.where(first, y, x), tw, q, nqinv)
+            x = jnp.where(first, _addmod(x, p, q), _submod(y, p, q))
         else:
             # GS: out = first ? x + y : S*(y - x)
             diff = _submod(y, x, q)
@@ -233,9 +234,8 @@ def _ntt_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, inverse):
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         if not inverse:
-            sy = _mont_mul_dyn(y, tw, q, nqinv)
-            sx = _mont_mul_dyn(x, tw, q, nqinv)
-            x = jnp.where(first, _addmod_dyn(x, sy, q), _submod_dyn(y, sx, q))
+            p = _mont_mul_dyn(jnp.where(first, y, x), tw, q, nqinv)
+            x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
         else:
             diff = _submod_dyn(y, x, q)
             x = jnp.where(first, _addmod_dyn(x, y, q),

@@ -110,3 +110,27 @@ def test_ct_mul_depth2_with_mod_switch():
     want = rn.to_rq(rn.naive_poly_mul(w12, ms[2].astype(jnp.int64)),
                     param.t, param.n)
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(want))
+
+
+def test_base_extend_centered_boundary_exact():
+    """Adversarial α-boundary sweep: centered extension is deterministically
+    exact for |v| ≤ S/8 (the scheme guarantees |r| ≤ S/16 via the capacity
+    assert; see fast_base_extend docstring)."""
+    from fhe_study_tpu.models.bfv_rns import fast_base_extend
+    from fhe_study_tpu.ops.primes import ntt_primes
+    src = ntt_primes(5, 30, 1 << 16)
+    dst = ntt_primes(4, 30, 1 << 16, skip=5)
+    S = 1
+    for p in src:
+        S *= p
+    import random
+    rng = random.Random(7)
+    # worst cases: near ±S/8, near 0, and random; plus exact ±S/8
+    vals = ([S // 8 - k for k in range(32)] + [-(S // 8) + k for k in range(32)]
+            + [0, 1, -1, 17, -17]
+            + [rng.randrange(-(S // 8), S // 8) for _ in range(256)])
+    x = jnp.stack([jnp.asarray([v % p for v in vals], jnp.uint64)
+                   for p in src], 0)
+    out = np.asarray(fast_base_extend(x, src, dst, centered=True))
+    for j, d in enumerate(dst):
+        np.testing.assert_array_equal(out[j], [v % d for v in vals])
