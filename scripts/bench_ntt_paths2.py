@@ -9,7 +9,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/_build/jaxcache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np, jax.numpy as jnp
-from fhe_study_tpu.ops import ntt as N, ntt_mxu, ntt_pallas
+from fhe_study_tpu.ops import ntt as N, ntt_mxu, ntt_mxu_pallas, ntt_pallas
 from fhe_study_tpu.ops.primes import ntt_primes
 
 n = int(os.environ.get("FHE_BENCH_N", 1 << 14))
@@ -39,6 +39,9 @@ for name, f in {
     "xla_butterfly": jax.jit(lambda a: N.ntt_multi(a, qs)),
     "pallas": jax.jit(lambda a: ntt_pallas.ntt_multi_u32(a, qs)),
     "mxu": jax.jit(lambda a: ntt_mxu.ntt_multi_mxu(a, qs)),
+    "mxu_pallas": jax.jit(lambda a: ntt_mxu_pallas.ntt_multi_mxu_pallas(a, qs)),
+    "mxu_pallas_inv": jax.jit(lambda a: ntt_mxu_pallas.ntt_multi_mxu_pallas(
+        a, qs, inverse=True)),
 }.items():
     try:
         dt = timeit(f)

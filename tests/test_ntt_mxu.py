@@ -49,3 +49,19 @@ def test_mxu_31bit_primes():
     ref = N.intt_multi(N.ntt_multi(x, qs), qs)
     got = M.intt_multi_mxu(M.ntt_multi_mxu(x, qs), qs)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("n", [256, 4096])
+def test_mxu_pallas_kernel_matches(n):
+    """The VMEM-fused Pallas variant of the MXU four-step (interpret mode on
+    CPU) is bit-identical to the canonical path, both directions."""
+    from fhe_study_tpu.ops import ntt_mxu_pallas as MP
+    qs = ntt_primes(3, 30, 1 << 16)
+    rng = np.random.default_rng(n + 1)
+    x = jnp.asarray(np.stack([rng.integers(0, q, (4, n)) for q in qs]),
+                    jnp.uint64)
+    ref = N.ntt_multi(x, qs)
+    got = MP.ntt_multi_mxu_pallas(x, qs)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    back = MP.ntt_multi_mxu_pallas(got, qs, inverse=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
