@@ -318,16 +318,25 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     need_p = math.log2(param.t) + math.log2(param.n) + q_bits + 2
     assert p_bits > need_p and param.t <= (1 << 22), \
         f"P basis too small: {p_bits:.0f} bits, need > {need_p:.0f}"
-    # 1. extend all four polys to the P basis; transform once per prime
-    bv = _qvec(both, x.c0.ndim)
-    bmu = barrett_muv(both, x.c0.ndim)
+    # 1. extend all four polys to the P basis; transform once per prime.
+    # The eval-domain section runs in u32 Montgomery (ops/modops32): XLA
+    # emulates u64 lanes in 32-bit pairs on TPU (~10x cost), and the Pallas/
+    # MXU transforms preserve the u32 dtype end-to-end.
+    from ..ops import modops32
     ext = lambda poly: ntt_multi(  # noqa: E731
-        jnp.concatenate([poly, fast_base_extend(poly, qs, ps)], axis=0), both)
+        jnp.concatenate([poly, fast_base_extend(poly, qs, ps)], axis=0)
+        .astype(jnp.uint32), both)
     ex0, ex1, ey0, ey1 = ext(x.c0), ext(x.c1), ext(y.c0), ext(y.c1)
-    d0 = intt_multi(mulmod_v(ex0, ey0, bv, bmu), both)
-    d1 = intt_multi(_addmod_v(mulmod_v(ex0, ey1, bv, bmu),
-                              mulmod_v(ex1, ey0, bv, bmu), bv), both)
-    d2 = intt_multi(mulmod_v(ex1, ey1, bv, bmu), both)
+    qv32, nqv32, r2v32 = (jnp.asarray(c)
+                          for c in modops32.consts(both, x.c0.ndim))
+    ey0m = modops32.to_mont(ey0, qv32, nqv32, r2v32)
+    ey1m = modops32.to_mont(ey1, qv32, nqv32, r2v32)
+    d0 = intt_multi(modops32.mont_mul(ex0, ey0m, qv32, nqv32), both)
+    d1 = intt_multi(modops32.addmod(
+        modops32.mont_mul(ex0, ey1m, qv32, nqv32),
+        modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32), both)
+    d2 = intt_multi(modops32.mont_mul(ex1, ey1m, qv32, nqv32), both)
+    d0, d1, d2 = (d.astype(U64) for d in (d0, d1, d2))
     # 2. r = floor(t·v/Q): [w]_Q is the UNSIGNED remainder (w − [w]_Q =
     # Q·floor(w/Q), exact for signed w too) -> extend with the [0,Q)
     # interpretation; r is signed & small -> centered extension back to Q
@@ -359,16 +368,25 @@ def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     mv = barrett_muv(qs, c0.ndim)
     # digits [L_rows, L_primes, ..., n]: d_i mod q_j  (digit < 2^31 -> barrett)
     d = barrett_red(c2[:, None, ...], qv[None, ...], mv[None, ...])
-    # one transform launch for the whole (rows × primes) digit grid
-    ed = ntt_multi(d.reshape((L * L,) + d.shape[2:]), qs * L).reshape(d.shape)
-    rb = _bcast_mid(rlk.b, ed.ndim, lead=2)
-    ra = _bcast_mid(rlk.a, ed.ndim, lead=2)
-    acc0 = barrett_red(jnp.sum(mulmod_v(ed, rb, qv[None], mv[None]), axis=0),
-                       qv, mv)
-    acc1 = barrett_red(jnp.sum(mulmod_v(ed, ra, qv[None], mv[None]), axis=0),
-                       qv, mv)
-    r0 = _addmod_v(c0, intt_multi(acc0, qs), qv)
-    r1 = _addmod_v(c1, intt_multi(acc1, qs), qv)
+    # one transform launch for the whole (rows × primes) digit grid; the
+    # contraction runs in u32 Montgomery (digits lifted ONCE, reused for
+    # both the b and a accumulations)
+    from ..ops import modops32
+    ed = ntt_multi(d.reshape((L * L,) + d.shape[2:]).astype(jnp.uint32),
+                   qs * L).reshape(d.shape)
+    qv32, nqv32, r2v32 = (jnp.asarray(c)[None]
+                          for c in modops32.consts(qs, c0.ndim))
+    edm = modops32.to_mont(ed, qv32, nqv32, r2v32)
+    rb = _bcast_mid(rlk.b, ed.ndim, lead=2).astype(jnp.uint32)
+    ra = _bcast_mid(rlk.a, ed.ndim, lead=2).astype(jnp.uint32)
+    pb = modops32.mont_mul(rb, edm, qv32, nqv32)
+    pa = modops32.mont_mul(ra, edm, qv32, nqv32)
+    acc0, acc1 = pb[0], pa[0]
+    for i in range(1, L):
+        acc0 = modops32.addmod(acc0, pb[i], qv32[0])
+        acc1 = modops32.addmod(acc1, pa[i], qv32[0])
+    r0 = _addmod_v(c0, intt_multi(acc0, qs).astype(U64), qv)
+    r1 = _addmod_v(c1, intt_multi(acc1, qs).astype(U64), qv)
     return CT(r0, r1)
 
 

@@ -157,15 +157,21 @@ def mul(param: Param, rlk, x: CT, y: CT):
     — the standard CKKS level drop.  No base extension is needed: CKKS
     multiplies mod Q directly and divides by ONE prime."""
     from .. import bfv_rns
+    from ...ops import modops32
     qs = param.qs
-    qv = _qvec(qs, x.c0.ndim)
-    mv = barrett_muv(qs, x.c0.ndim)
-    ex0, ex1 = ntt_multi(x.c0, qs), ntt_multi(x.c1, qs)
-    ey0, ey1 = ntt_multi(y.c0, qs), ntt_multi(y.c1, qs)
-    d0 = intt_multi(mulmod_v(ex0, ey0, qv, mv), qs)
-    d1 = intt_multi(_addmod_v(mulmod_v(ex0, ey1, qv, mv),
-                              mulmod_v(ex1, ey0, qv, mv), qv), qs)
-    d2 = intt_multi(mulmod_v(ex1, ey1, qv, mv), qs)
+    # eval-domain products in u32 Montgomery (see bfv_rns._tensor)
+    ex0, ex1 = (ntt_multi(c.astype(jnp.uint32), qs) for c in (x.c0, x.c1))
+    ey0, ey1 = (ntt_multi(c.astype(jnp.uint32), qs) for c in (y.c0, y.c1))
+    qv32, nqv32, r2v32 = (jnp.asarray(c)
+                          for c in modops32.consts(qs, x.c0.ndim))
+    ey0m = modops32.to_mont(ey0, qv32, nqv32, r2v32)
+    ey1m = modops32.to_mont(ey1, qv32, nqv32, r2v32)
+    d0 = intt_multi(modops32.mont_mul(ex0, ey0m, qv32, nqv32), qs)
+    d1 = intt_multi(modops32.addmod(
+        modops32.mont_mul(ex0, ey1m, qv32, nqv32),
+        modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32), qs)
+    d2 = intt_multi(modops32.mont_mul(ex1, ey1m, qv32, nqv32), qs)
+    d0, d1, d2 = (d.astype(U64) for d in (d0, d1, d2))
     bp = _bfv_param(param)
     ct = bfv_rns.relinearize(bp, rlk, d0, d1, d2)
     ct = bfv_rns.mod_switch_drop(bp, bfv_rns.CT(ct.c0, ct.c1))

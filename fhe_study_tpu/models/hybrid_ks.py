@@ -130,16 +130,22 @@ def hybrid_key_switch(param, hksk: HybridKSK, c) -> "bfv_rns.CT":
     # digits: [L_rows, L+K, ..., n]; row i = c1's limb-i residue mod each
     # prime of the extended basis (integers < q_i -> plain reduction)
     d = barrett_red(c.c1[:, None, ...], bv[None, ...], bmu[None, ...])
-    ed = ntt_multi(d.reshape((L * len(both),) + d.shape[2:]),
-                   both * L).reshape(d.shape)
-    rb = _bcast_mid(hksk.b, ed.ndim, lead=2)
-    ra = _bcast_mid(hksk.a, ed.ndim, lead=2)
-    acc0 = barrett_red(jnp.sum(mulmod_v(ed, rb, bv[None], bmu[None]), axis=0),
-                       bv, bmu)
-    acc1 = barrett_red(jnp.sum(mulmod_v(ed, ra, bv[None], bmu[None]), axis=0),
-                       bv, bmu)
-    acc0 = intt_multi(acc0, both)
-    acc1 = intt_multi(acc1, both)
+    ed = ntt_multi(d.reshape((L * len(both),) + d.shape[2:])
+                   .astype(jnp.uint32), both * L).reshape(d.shape)
+    from ..ops import modops32
+    qv32, nqv32, r2v32 = (jnp.asarray(cst)[None]
+                          for cst in modops32.consts(both, c.c1.ndim))
+    edm = modops32.to_mont(ed, qv32, nqv32, r2v32)
+    rb = _bcast_mid(hksk.b, ed.ndim, lead=2).astype(jnp.uint32)
+    ra = _bcast_mid(hksk.a, ed.ndim, lead=2).astype(jnp.uint32)
+    pb = modops32.mont_mul(rb, edm, qv32, nqv32)
+    pa = modops32.mont_mul(ra, edm, qv32, nqv32)
+    acc0, acc1 = pb[0], pa[0]
+    for i in range(1, L):
+        acc0 = modops32.addmod(acc0, pb[i], qv32[0])
+        acc1 = modops32.addmod(acc1, pa[i], qv32[0])
+    acc0 = intt_multi(acc0, both).astype(jnp.uint64)
+    acc1 = intt_multi(acc1, both).astype(jnp.uint64)
     r0 = _div_by_P_round(param, acc0, ps)
     r1 = _div_by_P_round(param, acc1, ps)
     qv = _qvec(qs, r0.ndim)

@@ -248,6 +248,8 @@ def ntt_multi(a, qs: tuple):
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
         return ntt_pallas.ntt_multi_u32(a, qs)
+    if a.dtype == jnp.uint32:   # XLA path computes in u64 (products 2^60)
+        return ntt_multi(a.astype(U64), qs).astype(jnp.uint32)
     roots, _, _ = _multi_tables(qs, n)
     qv = _qvec(qs, a.ndim + 1)            # broadcast over [L, batch..., m, t]
     muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None
@@ -277,6 +279,8 @@ def intt_multi(a, qs: tuple):
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
         return ntt_pallas.ntt_multi_u32(a, qs, inverse=True)
+    if a.dtype == jnp.uint32:
+        return intt_multi(a.astype(U64), qs).astype(jnp.uint32)
     _, roots_inv, n_inv = _multi_tables(qs, n)
     qv = _qvec(qs, a.ndim + 1)
     muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None

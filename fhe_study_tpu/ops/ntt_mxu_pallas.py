@@ -50,7 +50,8 @@ def _mxu_step(x, w_ref, q, nq, cb, m, bb):
     x2 = x.reshape(bb * m, m)
     acc = None
     for a in range(4):
-        xa = ((x2 >> U32(8 * a)) & U32(0xFF)).astype(F32).astype(BF16)
+        # Mosaic has no u32->f32 cast; hop through i32 (values <= 255)
+        xa = ((x2 >> U32(8 * a)) & U32(0xFF)).astype(I32).astype(F32).astype(BF16)
         p = jax.lax.dot_general(xa, w_ref[0, a],
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=F32)
