@@ -189,15 +189,23 @@ def main():
     mul_jit = jax.jit(lambda x0, x1, y0, y1, rb, ra: R.mul(
         param, R.RLK(rb, ra), R.CT(x0, x1), R.CT(y0, y1)))
     mul = lambda x0, x1, y0, y1: mul_jit(x0, x1, y0, y1, rlk.b, rlk.a)  # noqa: E731
+    probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
     args = (c1.c0, c1.c1, c2.c0, c2.c1)
     out = mul(*args)                      # compile + warmup
-    jax.block_until_ready(out)
+    float(probe(out[0]))                  # force materialization
 
+    # timing: CHAIN the output into the next multiply (every iteration sees
+    # new values — no cache layer can satisfy it) and force a readback
+    # inside the window (block_until_ready does not reliably block through
+    # the remote-device relay)
     t0 = time.perf_counter()
+    cur = (c1.c0, c1.c1)
     for _ in range(iters):
-        out = mul(*args)
-    jax.block_until_ready(out)
+        timed = mul(cur[0], cur[1], c2.c0, c2.c1)
+        cur = (timed[0], timed[1])       # noise grows — timing only
+    float(probe(timed[0]))
     dt = time.perf_counter() - t0
+    # `out` (the single fresh product) is what gets decrypt-verified below
 
     # correctness spot check (don't bench a broken kernel) — on CPU, with an
     # O(n log n) exact reference product (dense n^2 is infeasible at 2^14)

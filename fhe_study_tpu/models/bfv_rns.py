@@ -85,6 +85,14 @@ def _ext_table(src: tuple, dst: tuple):
     return tab, smod
 
 
+@lru_cache(maxsize=None)
+def _hat_inv_mont(src: tuple):
+    """[Ls] (Q̂_i^{-1} << 32) mod s_i — Montgomery-lifted (numpy u32)."""
+    b = _basis(src)
+    return np.array([(int(h) << 32) % p for h, p in
+                     zip(b.hat_inv, src)], np.uint32)
+
+
 def _to_residues(x, primes):
     """int64 [..., n] -> [L, ..., n] residues (vectorized over primes)."""
     x = jnp.asarray(x, jnp.int64)[None, ...]
@@ -114,23 +122,30 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
         the t/Q scaling turns into a multiple of t — vanishes mod t at
         decryption (eprint 2018/117 §3 makes the same argument).
       * centered=False on w_q (the [w·t]_Q lift): a slip of +Q changes r by
-        ±1 — one unit of additive noise, absorbed by the noise budget."""
+        ±1 — one unit of additive noise, absorbed by the noise budget.
+
+    Accepts u64 or u32 residues; returns the INPUT dtype (the y products run
+    in u32 Montgomery either way — u64 lanes are emulated on TPU)."""
+    from ..ops import modops32
     b = _basis(src)
     tab, smod = _ext_table(src, dst)
-    sv = _qvec(src, x.ndim)
-    smu = barrett_muv(src, x.ndim)
-    hi = jnp.asarray(b.hat_inv).reshape(sv.shape)
-    ys = mulmod_v(x, hi, sv, smu)                              # [Ls, ..., n]
-    invf = jnp.asarray(b.inv_f).reshape(sv.shape)
+    sv32, snq32, _ = (jnp.asarray(c) for c in modops32.consts(src, x.ndim))
+    x32 = x.astype(jnp.uint32)
+    him = jnp.asarray(_hat_inv_mont(src)).reshape(sv32.shape)
+    ys = modops32.mont_mul(x32, him, sv32, snq32)              # [Ls, ..., n]
+    invf = jnp.asarray(b.inv_f).reshape(sv32.shape)
     alpha_f = jnp.sum(ys.astype(jnp.float64) * invf, axis=0)   # [..., n]
-    alpha = jnp.floor(alpha_f + (0.5 if centered else 0.0)).astype(jnp.uint64)
+    alpha = jnp.floor(alpha_f + (0.5 if centered else 0.0)).astype(jnp.uint32)
     from ..ops.ntt import _pallas_ok
     if all(_pallas_ok(q, 128) for q in src + dst):
         from ..ops import ext_pallas
-        return ext_pallas.base_extend_sum(ys, alpha, src, dst)
-    # out_j = Σ_i (y_i · tab[i,j]) − α·S   (mod d_j).  Accumulate in pairs of
-    # raw u64 products (2·2^62 < 2^64) with one Barrett per pair — avoids
-    # materializing the full [Ls, Ld, ...] product tensor.
+        return ext_pallas.base_extend_sum(ys, alpha, src, dst
+                                          ).astype(x.dtype)
+    # XLA fallback (CPU): out_j = Σ_i (y_i · tab[i,j]) − α·S (mod d_j).
+    # Accumulate in pairs of raw u64 products (2·2^62 < 2^64) with one
+    # Barrett per pair — avoids the full [Ls, Ld, ...] product tensor.
+    ys = ys.astype(jnp.uint64)
+    alpha = alpha.astype(jnp.uint64)
     dv = _qvec(dst, x.ndim)
     dmu = barrett_muv(dst, x.ndim)
     tabj = jnp.asarray(tab)                                    # [Ls, Ld]
@@ -145,7 +160,7 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     acc = barrett_red(acc, dv, dmu)                            # [Ld, ..., n]
     smodv = jnp.asarray(smod).reshape(dv.shape)
     corr = mulmod_v(alpha[None, ...], smodv, dv, dmu)  # alpha < Ls << d
-    return _submod_v(acc, corr, dv)
+    return _submod_v(acc, corr, dv).astype(x.dtype)
 
 
 def _bcast_mid(x, target_ndim: int, lead: int = 1):
@@ -336,43 +351,58 @@ def _tensor(param: RnsParam, x: CT, y: CT):
         modops32.mont_mul(ex0, ey1m, qv32, nqv32),
         modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32), both)
     d2 = intt_multi(modops32.mont_mul(ex1, ey1m, qv32, nqv32), both)
-    d0, d1, d2 = (d.astype(U64) for d in (d0, d1, d2))
     # 2. r = floor(t·v/Q): [w]_Q is the UNSIGNED remainder (w − [w]_Q =
     # Q·floor(w/Q), exact for signed w too) -> extend with the [0,Q)
-    # interpretation; r is signed & small -> centered extension back to Q
+    # interpretation; r is signed & small -> centered extension back to Q.
+    # All in u32 Montgomery (constants pre-lifted host-side).
     Q = _basis(qs).prod
-    tq = jnp.asarray(np.array([param.t % q for q in qs], np.uint64))
-    tp = jnp.asarray(np.array([param.t % p for p in ps], np.uint64))
-    qinv_p = jnp.asarray(np.array([pow(Q, -1, p) for p in ps], np.uint64))
-    qv = _qvec(qs, x.c0.ndim)
-    pv = _qvec(ps, x.c0.ndim)
-    qmu = barrett_muv(qs, x.c0.ndim)
-    pmu = barrett_muv(ps, x.c0.ndim)
+    mont = lambda v, q: (int(v % q) << 32) % q  # noqa: E731
+    tqm = jnp.asarray(np.array([mont(param.t, q) for q in qs], np.uint32))
+    tpm = jnp.asarray(np.array([mont(param.t, p) for p in ps], np.uint32))
+    qinvm = jnp.asarray(np.array([mont(pow(Q, -1, p), p) for p in ps],
+                                 np.uint32))
+    qv32q, nq32q, _ = (jnp.asarray(c) for c in modops32.consts(qs, x.c0.ndim))
+    pv32, nq32p, _ = (jnp.asarray(c) for c in modops32.consts(ps, x.c0.ndim))
     out = []
     for d in (d0, d1, d2):
-        w_q = mulmod_v(d[: param.L], tq.reshape(qv.shape), qv, qmu)
-        w_p = mulmod_v(d[param.L:], tp.reshape(pv.shape), pv, pmu)
+        w_q = modops32.mont_mul(d[: param.L], tqm.reshape(qv32q.shape),
+                                qv32q, nq32q)
+        w_p = modops32.mont_mul(d[param.L:], tpm.reshape(pv32.shape),
+                                pv32, nq32p)
         wq_in_p = fast_base_extend(w_q, qs, ps)
-        r_p = mulmod_v(_submod_v(w_p, wq_in_p, pv), qinv_p.reshape(pv.shape),
-                       pv, pmu)
+        r_p = modops32.mont_mul(modops32.submod(w_p, wq_in_p, pv32),
+                                qinvm.reshape(pv32.shape), pv32, nq32p)
         out.append(fast_base_extend(r_p, ps, qs, centered=True))
     return out
 
 
 def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     """RNS-gadget relin: digits are c2's own limb residues (broadcast to all
-    primes), contracted against the key rows in the NTT domain."""
+    primes), contracted against the key rows in the NTT domain.
+
+    Accepts u64 or u32 inputs (tensor outputs are u32; key_switch passes
+    u64 ciphertext components); returns a u64 CT."""
     qs = param.qs
     L = param.L
+    c0 = c0.astype(U64)
+    c1 = c1.astype(U64)
     qv = _qvec(qs, c0.ndim)
     mv = barrett_muv(qs, c0.ndim)
-    # digits [L_rows, L_primes, ..., n]: d_i mod q_j  (digit < 2^31 -> barrett)
-    d = barrett_red(c2[:, None, ...], qv[None, ...], mv[None, ...])
+    from ..ops import modops32
+    # digits [L_rows, L_primes, ..., n]: d_i mod q_j.  The primes share a
+    # magnitude band, so d_i/q_j < 2^(32-prime_bits+1): conditional
+    # subtracts beat any multiply-based reduction.
+    reps = (max(qs) - 1) // min(qs) + 1
+    qrow = jnp.asarray(np.array(qs, np.uint32)).reshape(
+        (1, L) + (1,) * (c2.ndim - 1))
+    d = c2.astype(jnp.uint32)[:, None, ...]
+    d = jnp.broadcast_to(d, (L, L) + c2.shape[1:])
+    for _ in range(reps):
+        d = jnp.where(d >= qrow, d - qrow, d)
     # one transform launch for the whole (rows × primes) digit grid; the
     # contraction runs in u32 Montgomery (digits lifted ONCE, reused for
     # both the b and a accumulations)
-    from ..ops import modops32
-    ed = ntt_multi(d.reshape((L * L,) + d.shape[2:]).astype(jnp.uint32),
+    ed = ntt_multi(d.reshape((L * L,) + d.shape[2:]),
                    qs * L).reshape(d.shape)
     qv32, nqv32, r2v32 = (jnp.asarray(c)[None]
                           for c in modops32.consts(qs, c0.ndim))

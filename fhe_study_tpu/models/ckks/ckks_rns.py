@@ -171,7 +171,6 @@ def mul(param: Param, rlk, x: CT, y: CT):
         modops32.mont_mul(ex0, ey1m, qv32, nqv32),
         modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32), qs)
     d2 = intt_multi(modops32.mont_mul(ex1, ey1m, qv32, nqv32), qs)
-    d0, d1, d2 = (d.astype(U64) for d in (d0, d1, d2))
     bp = _bfv_param(param)
     ct = bfv_rns.relinearize(bp, rlk, d0, d1, d2)
     ct = bfv_rns.mod_switch_drop(bp, bfv_rns.CT(ct.c0, ct.c1))

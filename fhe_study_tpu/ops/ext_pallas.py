@@ -91,4 +91,4 @@ def base_extend_sum(ys, alpha, src: tuple, dst: tuple,
     )(ys32, al32)
     if pad:
         out = out[:, :total]
-    return out.reshape((Ld,) + batch).astype(jnp.uint64)
+    return out.reshape((Ld,) + batch)     # u32; caller casts as needed
