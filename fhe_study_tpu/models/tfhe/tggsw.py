@@ -130,22 +130,26 @@ def cmux(param: Param, beta: int, l: int, bit: TGGSW, c1: GLWE, c2: GLWE) -> GLW
 # ---------------------------------------------------------------------------
 
 class TGGSWEvals(NamedTuple):
-    """[..., K+1(row), l, K+1(col), 2(limb), N] u32 per CRT prime."""
+    """[..., K+1(row), l, K+1(col), 2(limb), N] u32 per CRT prime,
+    MONTGOMERY domain (value << 32 mod p) — the external product multiplies
+    them against normal-domain digits with one u32 REDC each."""
     ev1: jax.Array
     ev2: jax.Array
 
 
 def precompute_evals(param: Param, g: TGGSW) -> TGGSWEvals:
     """Transform a TGGSW (any leading batch dims) into NTT-domain 32-bit
-    limbs under both CRT primes."""
+    limbs under both CRT primes, Montgomery-lifted (one-time u64 math)."""
     from ...ops import ntt as ntt_mod
     p1, p2 = ntt_mod.CRT_PRIMES[:2]
     ab = jnp.concatenate([g.a, g.b[..., None, :]], axis=-2)  # [..., K+1r, l, K+1c, N]
     lo = ab & U64(0xFFFFFFFF)
     hi = ab >> U64(32)
     limbs = jnp.stack([lo, hi], axis=-2)                     # [..., K+1c, 2, N]
-    ev1 = ntt_mod.ntt(limbs % U64(p1), p1).astype(jnp.uint32)
-    ev2 = ntt_mod.ntt(limbs % U64(p2), p2).astype(jnp.uint32)
+    ev1 = ntt_mod.ntt(limbs % U64(p1), p1)
+    ev2 = ntt_mod.ntt(limbs % U64(p2), p2)
+    ev1 = ((ev1 << U64(32)) % U64(p1)).astype(jnp.uint32)
+    ev2 = ((ev2 << U64(32)) % U64(p2)).astype(jnp.uint32)
     return TGGSWEvals(ev1, ev2)
 
 
@@ -156,10 +160,11 @@ def external_product_evals(param: Param, gev: TGGSWEvals, c: GLWE,
     inverse transforms, exact CRT recombination mod 2^64.
 
     Both CRT primes ride the MULTI-prime transform path (one kernel launch
-    per direction) and Barrett vector-modulus arithmetic."""
+    per direction); the eval-domain contraction runs in u32 Montgomery
+    against the pre-lifted key evals — no u64 lane emulation in the scan."""
     from ...ops import ntt as ntt_mod
-    from ...ops.ntt import (ntt_multi, intt_multi, mulmod_v, _qvec,
-                            barrett_muv, barrett_red, _submod_v)
+    from ...ops import modops32
+    from ...ops.ntt import ntt_multi, intt_multi
     pq = ntt_mod.CRT_PRIMES[:2]
     p1, p2 = pq
     m12 = p1 * p2
@@ -171,25 +176,35 @@ def external_product_evals(param: Param, gev: TGGSWEvals, c: GLWE,
     d = tn.decompose(ab, beta, l)                             # [l, ..., K+1, N]
     d = jnp.moveaxis(d, 0, -2)                                # [..., K+1, l, N]
 
-    dd = jnp.stack([d % U64(p1), d % U64(p2)], 0)             # [2, ..., K+1, l, N]
-    ed = ntt_multi(dd, pq)
-    ev = jnp.stack([gev.ev1, gev.ev2], 0).astype(jnp.uint64)  # [2, r, l, c, 2, N]
+    dd = jnp.stack([d % U64(p1), d % U64(p2)], 0).astype(jnp.uint32)
+    ed = ntt_multi(dd, pq)                                    # u32
+    ev = jnp.stack([gev.ev1, gev.ev2], 0)                     # [2, r, l, c, 2, N] mont
     edx = ed[..., :, :, None, None, :]                        # [2, .., r, l, 1, 1, N]
     extra = edx.ndim - ev.ndim          # ciphertext batch dims absent in the key
     if extra > 0:
         ev = ev.reshape(ev.shape[:1] + (1,) * extra + ev.shape[1:])
-    qv = _qvec(pq, edx.ndim)
-    mv = barrett_muv(pq, edx.ndim)
-    prod = mulmod_v(edx, ev, qv, mv)
-    s = barrett_red(jnp.sum(prod, axis=(-5, -4)),
-                    _qvec(pq, edx.ndim - 2), barrett_muv(pq, edx.ndim - 2))
+    qv32, nq32, _ = (jnp.asarray(cst)
+                     for cst in modops32.consts(pq, edx.ndim))
+    prod = modops32.mont_mul(edx, ev, qv32, nq32)
+    # contraction over the (row, level) grid: static small count -> addmod
+    # chain (u32 can't hold the raw sum; a chain stays canonical)
+    grid = prod.shape[-5] * prod.shape[-4]
+    flat = prod.reshape(prod.shape[:-5] + (grid,) + prod.shape[-3:])
+    qv32s = jnp.asarray(modops32.consts(pq, edx.ndim - 2)[0])
+    s = flat[..., 0, :, :, :]
+    for i in range(1, grid):
+        s = modops32.addmod(s, flat[..., i, :, :, :], qv32s)
     # s: [2, ..., K+1c, 2limb, N] -> inverse transform both primes at once
     r = intt_multi(s, pq)
-    r1, r2 = r[0], r[1]
-    diff12 = _submod_v(r2, barrett_red(r1, jnp.uint64(p2), jnp.uint64((1 << 62) // p2)),
-                       jnp.uint64(p2))
-    delta = (diff12 * U64(p1_inv_p2)) % U64(p2)
-    gk = r1 + U64(p1) * delta                                 # in [0, p1*p2)
+    r1 = r[0].astype(U64)
+    r2 = r[1].astype(U64)
+    r1p2 = jnp.where(r1 >= U64(p2), r1 - U64(p2), r1)         # p1 < 2*p2
+    diff12 = jnp.where(r2 >= r1p2, r2 - r1p2, (U64(p2) - r1p2) + r2)
+    dm = modops32.mont_mul(diff12.astype(jnp.uint32),
+                           jnp.uint32((p1_inv_p2 << 32) % p2),
+                           jnp.uint32(p2),
+                           jnp.uint32((-pow(p2, -1, 1 << 32)) % (1 << 32)))
+    gk = r1 + U64(p1) * dm.astype(U64)                        # in [0, p1*p2)
     gk = jnp.where(gk > U64(m12 // 2), gk - U64(m12 % (1 << 64)), gk)
     out = gk[..., 0, :] + (gk[..., 1, :] << U64(32))          # wrapping
     return GLWE(a=out[..., :k, :], b=out[..., k, :])
