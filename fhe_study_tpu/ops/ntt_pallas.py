@@ -48,15 +48,16 @@ def _mont32_consts(q: int):
 
 @lru_cache(maxsize=None)
 def _stage_tables(q: int, n: int):
-    """[logn, n] u32 twiddle-per-element tables (Montgomery domain) for the
-    forward (CT, t: n/2 -> 1) and inverse (GS, t: 1 -> n/2) schedules, plus
-    the lane/sublane masks are implicit (recomputed in-kernel from iota)."""
+    """[2, logn, n] u32 twiddle-per-element tables for the forward (CT,
+    t: n/2 -> 1) and inverse (GS, t: 1 -> n/2) schedules: plane 0 = the
+    twiddle w (normal domain), plane 1 = its Shoup companion
+    floor(w*2^32/q) — one high-mul + one low-mul per modular multiply.
+    Lane/sublane masks are implicit (recomputed in-kernel from iota)."""
     plan = ntt_mod.get_plan(q, n)
     logn = n.bit_length() - 1
-    fwd = np.zeros((logn, n), np.uint32)
-    inv = np.zeros((logn, n), np.uint32)
-    _, r1 = _mont32_consts(q)
-    to_mont = lambda x: (int(x) << 32) % q  # noqa: E731
+    fwd = np.zeros((2, logn, n), np.uint32)
+    inv = np.zeros((2, logn, n), np.uint32)
+    shoup = lambda x: (int(x) << 32) // q  # noqa: E731
     # forward: stage s has m = 2^s groups, t = n >> (s+1); element j belongs
     # to group g = j >> (log2(2t)); twiddle S = roots[m + g] for BOTH halves
     for s in range(logn):
@@ -64,16 +65,18 @@ def _stage_tables(q: int, n: int):
         t = n >> (s + 1)
         g = np.arange(n) >> ((2 * t).bit_length() - 1)
         S = plan.roots[m + g]
-        fwd[s] = np.array([to_mont(x) for x in S], np.uint32)
+        fwd[0, s] = S.astype(np.uint32)
+        fwd[1, s] = np.array([shoup(x) for x in S], np.uint32)
     # inverse: stage s has t = 2^s, m = n >> (s+1)
     for s in range(logn):
         t = 1 << s
         m = n >> (s + 1)
         g = np.arange(n) >> (s + 1)
         S = plan.roots_inv[m + g]
-        inv[s] = np.array([to_mont(x) for x in S], np.uint32)
-    n_inv_mont = np.uint32((pow(n, q - 2, q) << 32) % q)
-    return fwd, inv, n_inv_mont
+        inv[0, s] = S.astype(np.uint32)
+        inv[1, s] = np.array([shoup(x) for x in S], np.uint32)
+    n_inv = pow(n, q - 2, q)
+    return fwd, inv, (np.uint32(n_inv), np.uint32((n_inv << 32) // q))
 
 
 # ---------------------------------------------------------------------------
@@ -105,6 +108,30 @@ def _mont_mul(a, b_mont, q: int, nqinv: int):
     carry = (lo != U32(0)).astype(U32)
     t = hi + mh + carry
     return jnp.where(t >= U32(q), t - U32(q), t)
+
+
+def _mul32_hi(a, b):
+    """high 32 bits of a*b (16-bit limbs)."""
+    mask = U32(0xFFFF)
+    a0 = a & mask
+    a1 = a >> U32(16)
+    b0 = b & mask
+    b1 = b >> U32(16)
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> U32(16)) + (p01 & mask) + (p10 & mask)
+    return p11 + (p01 >> U32(16)) + (p10 >> U32(16)) + (mid >> U32(16))
+
+
+def _shoup_mul(a, w, wp, q):
+    """a*w mod q via Harvey/Shoup: wp = floor(w*2^32/q) precomputed.
+    Valid for any a < 2^32, w < q < 2^31; one wide-high mul + two low muls
+    (vs two wide muls for Montgomery).  q may be a traced scalar."""
+    hi = _mul32_hi(a, wp)
+    t = a * w - hi * q            # wrapping low-32; lands in [0, 2q)
+    return jnp.where(t >= q, t - q, t)
 
 
 def _addmod(a, b, q: int):
@@ -160,38 +187,40 @@ def _first_half_mask(shape, t: int):
 # kernels
 # ---------------------------------------------------------------------------
 
-def _ntt_kernel(x_ref, tw_ref, o_ref, *, q, n, inverse, nqinv, n_inv_mont):
+def _ntt_kernel(x_ref, tw_ref, o_ref, *, q, n, inverse, n_inv_pair):
     rows = n // LANES
     x = x_ref[...].reshape(x_ref.shape[0], rows, LANES)
     logn = n.bit_length() - 1
+    qq = U32(q)
     for s in range(logn):
         t = (n >> (s + 1)) if not inverse else (1 << s)
-        tw = tw_ref[s, :].reshape(1, rows, LANES)
+        tw = tw_ref[0, s, :].reshape(1, rows, LANES)
+        twp = tw_ref[1, s, :].reshape(1, rows, LANES)
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         if not inverse:
             # CT: out = first ? x + S*y : y - S*x.  The multiplicand is y in
-            # the first half and x (self) in the second — ONE montmul on the
+            # the first half and x (self) in the second — ONE mul on the
             # merged operand instead of two.
-            p = _mont_mul(jnp.where(first, y, x), tw, q, nqinv)
+            p = _shoup_mul(jnp.where(first, y, x), tw, twp, qq)
             x = jnp.where(first, _addmod(x, p, q), _submod(y, p, q))
         else:
             # GS: out = first ? x + y : S*(y - x)
             diff = _submod(y, x, q)
             x = jnp.where(first, _addmod(x, y, q),
-                          _mont_mul(diff, tw, q, nqinv))
+                          _shoup_mul(diff, tw, twp, qq))
     if inverse:
-        x = _mont_mul(x, jnp.full_like(x, n_inv_mont), q, nqinv)
+        x = _shoup_mul(x, jnp.full_like(x, n_inv_pair[0]),
+                       jnp.full_like(x, n_inv_pair[1]), qq)
     o_ref[...] = x.reshape(x_ref.shape[0], n)
 
 
 def _build_call(q: int, n: int, inverse: bool, block_b: int, interpret: bool):
-    nqinv, _ = _mont32_consts(q)
-    fwd, inv, n_inv_mont = _stage_tables(q, n)
+    fwd, inv, n_inv_pair = _stage_tables(q, n)
     tw = inv if inverse else fwd
     logn = n.bit_length() - 1
-    kern = partial(_ntt_kernel, q=q, n=n, inverse=inverse, nqinv=int(nqinv),
-                   n_inv_mont=int(n_inv_mont))
+    kern = partial(_ntt_kernel, q=q, n=n, inverse=inverse,
+                   n_inv_pair=(int(n_inv_pair[0]), int(n_inv_pair[1])))
 
     def call(x):
         B = x.shape[0]
@@ -205,7 +234,7 @@ def _build_call(q: int, n: int, inverse: bool, block_b: int, interpret: bool):
                 # Python 0 lowers as i64 under x64 and breaks Mosaic)
                 pl.BlockSpec((block_b, n), lambda i: (i, i * 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((logn, n), lambda i: (i * 0, i * 0),
+                pl.BlockSpec((2, logn, n), lambda i: (i * 0, i * 0, i * 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((block_b, n), lambda i: (i, i * 0),
@@ -223,25 +252,27 @@ def _build_call(q: int, n: int, inverse: bool, block_b: int, interpret: bool):
 
 def _ntt_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, inverse):
     q = consts_ref[0, pl.program_id(0)]
-    nqinv = consts_ref[1, pl.program_id(0)]
-    n_inv_mont = consts_ref[2, pl.program_id(0)]
+    n_inv = consts_ref[1, pl.program_id(0)]
+    n_inv_sh = consts_ref[2, pl.program_id(0)]
     rows = n // LANES
     x = x_ref[...].reshape(x_ref.shape[1], rows, LANES)
     logn = n.bit_length() - 1
     for s in range(logn):
         t = (n >> (s + 1)) if not inverse else (1 << s)
-        tw = tw_ref[0, s, :].reshape(1, rows, LANES)
+        tw = tw_ref[0, 0, s, :].reshape(1, rows, LANES)
+        twp = tw_ref[0, 1, s, :].reshape(1, rows, LANES)
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         if not inverse:
-            p = _mont_mul_dyn(jnp.where(first, y, x), tw, q, nqinv)
+            p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
             x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
         else:
             diff = _submod_dyn(y, x, q)
             x = jnp.where(first, _addmod_dyn(x, y, q),
-                          _mont_mul_dyn(diff, tw, q, nqinv))
+                          _shoup_mul(diff, tw, twp, q))
     if inverse:
-        x = _mont_mul_dyn(x, jnp.full_like(x, 1) * n_inv_mont, q, nqinv)
+        x = _shoup_mul(x, jnp.full_like(x, 1) * n_inv,
+                       jnp.full_like(x, 1) * n_inv_sh, q)
     o_ref[...] = x.reshape(x_ref.shape)
 
 
@@ -268,14 +299,13 @@ def _multi_consts(qs: tuple, n: int):
     cons = np.zeros((3, len(qs)), np.uint32)
     fwd_all, inv_all = [], []
     for i, q in enumerate(qs):
-        nqinv, _ = _mont32_consts(q)
-        fwd, inv, ninv = _stage_tables(q, n)
+        fwd, inv, ninv_pair = _stage_tables(q, n)
         cons[0, i] = q
-        cons[1, i] = nqinv
-        cons[2, i] = ninv
+        cons[1, i] = ninv_pair[0]
+        cons[2, i] = ninv_pair[1]
         fwd_all.append(fwd)
         inv_all.append(inv)
-    return cons, np.stack(fwd_all), np.stack(inv_all)   # tw: [L, logn, n]
+    return cons, np.stack(fwd_all), np.stack(inv_all)   # tw: [L, 2, logn, n]
 
 
 def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
@@ -302,7 +332,8 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
         grid=(L, B // block_b),
         in_specs=[
             pl.BlockSpec((1, block_b, n), lambda p, i, *_: (p, i, 0 * p)),
-            pl.BlockSpec((1, logn, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
+            pl.BlockSpec((1, 2, logn, n),
+                         lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p)),
         ],
         out_specs=pl.BlockSpec((1, block_b, n), lambda p, i, *_: (p, i, 0 * p)),
     )
