@@ -114,8 +114,8 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
       * centered=True (the tensor's r = round(t·w/Q), |r| ≤ t·n·Q/4 + 1):
         the capacity assert in _tensor enforces P > 4·t·n·Q, so |v|/S ≤ 1/16
         and the true Σ y_i/s_i sits ≥ 7/16 away from the round-half
-        boundary.  The f64 evaluation error is ≤ Ls·2^-52 (each term ≤ 1),
-        so α is DETERMINISTICALLY exact — no probabilistic 2^-50 boundary.
+        boundary.  The fixed-point evaluation error is ≤ Ls·2^-28 (see the
+        α computation below), so α is DETERMINISTICALLY exact.
         Pinned by test_base_extend_centered_boundary_exact.
       * centered=False on tensor operands (c Q→P): a boundary mis-floor
         shifts the value by +Q; the tensor then differs by Q·(junk), which
@@ -133,9 +133,15 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     x32 = x.astype(jnp.uint32)
     him = jnp.asarray(_hat_inv_mont(src)).reshape(sv32.shape)
     ys = modops32.mont_mul(x32, him, sv32, snq32)              # [Ls, ..., n]
-    invf = jnp.asarray(b.inv_f).reshape(sv32.shape)
-    alpha_f = jnp.sum(ys.astype(jnp.float64) * invf, axis=0)   # [..., n]
-    alpha = jnp.floor(alpha_f + (0.5 if centered else 0.0)).astype(jnp.uint32)
+    # α = floor/round(Σ y_i/s_i) in 2^59 FIXED POINT (f64 is software-
+    # emulated on TPU): t_i = y_i·⌊2^59/s_i⌋ ≤ 2^59, Σ ≤ Ls·2^59 < 2^64;
+    # truncation error ≤ Ls·2^-28 — far inside the exactness margins
+    # documented above (centered: 1/16; unsigned: the harmless ±S slip).
+    cfix = jnp.asarray(np.array([(1 << 59) // p for p in src], np.uint64)
+                       ).reshape(sv32.shape)
+    tsum = jnp.sum(ys.astype(jnp.uint64) * cfix, axis=0)       # [..., n]
+    half = jnp.uint64(1 << 58) if centered else jnp.uint64(0)
+    alpha = ((tsum + half) >> jnp.uint64(59)).astype(jnp.uint32)
     from ..ops.ntt import _pallas_ok
     if all(_pallas_ok(q, 128) for q in src + dst):
         from ..ops import ext_pallas

@@ -27,8 +27,19 @@ def test_fast_base_extend_exact():
     vals = [int(v) % S for v in rng.integers(0, 2 ** 63, 64)] + [0, 1, S // 2]
     x = jnp.stack([jnp.asarray([v % p for v in vals], jnp.uint64) for p in src], 0)
     out = np.asarray(fast_base_extend(x, src, dst))
+    # unsigned contract: v, or v+S when frac(v/S) is below the fixed-point
+    # alpha truncation (~2^-25) — the documented in-scheme-harmless slip
     for j, d in enumerate(dst):
-        np.testing.assert_array_equal(out[j], [v % d for v in vals])
+        exact = np.array([v % d for v in vals], np.uint64)
+        slip = np.array([(v + S) % d for v in vals], np.uint64)
+        ok = (out[j] == exact) | (out[j] == slip)
+        assert ok.all(), f"dst prime {d}: {np.where(~ok)}"
+    # values with fractional position >= 2^-20 extend EXACTLY
+    big = [S // 3 + int(v) for v in rng.integers(0, 2 ** 60, 32)]
+    xb = jnp.stack([jnp.asarray([v % p for v in big], jnp.uint64) for p in src], 0)
+    outb = np.asarray(fast_base_extend(xb, src, dst))
+    for j, d in enumerate(dst):
+        np.testing.assert_array_equal(outb[j], [v % d for v in big])
 
     # centered interpretation recovers signed values
     svals = [-5, 5, -(S // 4), S // 4, 0]
