@@ -107,6 +107,35 @@ def sub(param: Param, x: CT, y: CT) -> CT:
     return CT(_submod_v(x.c0, y.c0, qv), _submod_v(x.c1, y.c1, qv))
 
 
+def mul_pt(param: Param, x: CT, m_res) -> CT:
+    """Slot-wise ciphertext x plaintext product (NTT pointwise, u32
+    Montgomery).  m_res: encoded residues [L, ..., N] (delta-scaled) —
+    the result carries scale delta^2; rescale with bfv_rns.mod_switch_drop."""
+    from ...ops import modops32
+    qs = param.qs
+    qv32, nqv32, r2v32 = (jnp.asarray(c_)
+                          for c_ in modops32.consts(qs, x.c0.ndim))
+    em = modops32.to_mont(ntt_multi(jnp.asarray(m_res).astype(jnp.uint32),
+                                    qs), qv32, nqv32, r2v32)
+    c0 = intt_multi(modops32.mont_mul(
+        ntt_multi(x.c0.astype(jnp.uint32), qs), em, qv32, nqv32), qs)
+    c1 = intt_multi(modops32.mont_mul(
+        ntt_multi(x.c1.astype(jnp.uint32), qs), em, qv32, nqv32), qs)
+    return CT(c0.astype(U64), c1.astype(U64))
+
+
+def rescale(param: Param, x: CT):
+    """Drop the last prime: scale delta -> delta / q_last; returns
+    (ct', param') with L-1 limbs (the standard CKKS level drop)."""
+    from .. import bfv_rns
+    bp = _bfv_param(param)
+    out = bfv_rns.mod_switch_drop(bp, bfv_rns.CT(x.c0, x.c1))
+    new_param = Param(n=param.n, L=param.L - 1,
+                      delta=param.delta / param.qs[-1] * 1.0,
+                      prime_bits=param.prime_bits)
+    return CT(out.c0, out.c1), new_param
+
+
 def decrypt_to_coeffs(param: Param, sk: SecretKey, c: CT):
     """c0 + c1·s -> centered f64 coefficients.
 
@@ -116,7 +145,8 @@ def decrypt_to_coeffs(param: Param, sk: SecretKey, c: CT):
     qs = param.qs
     qv = _qvec(qs, c.c0.ndim)
     mv = barrett_muv(qs, c.c0.ndim)
-    se = _bcast_mid(sk.s_evals, c.c1.ndim)
+    # slice the key to the ciphertext's limb count (rescaled cts are shorter)
+    se = _bcast_mid(sk.s_evals[: c.c0.shape[0]], c.c1.ndim)
     cs = _addmod_v(
         c.c0, intt_multi(mulmod_v(ntt_multi(c.c1, qs), se, qv, mv), qs), qv)
     q0, q1 = qs[0], qs[1]

@@ -1,0 +1,71 @@
+"""CKKS evaluation toolkit: homomorphic slot linear transforms."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fhe_study_tpu.models.ckks import ckks_rns as C
+from fhe_study_tpu.models.ckks import eval as E
+from fhe_study_tpu.utils import prng
+
+
+def _setup(n=32, L=3, delta=2.0 ** 25, seed=0):
+    param = C.Param(n=n, L=L, delta=delta)
+    ks = prng.split(jax.random.PRNGKey(seed), 3)
+    sk, pk = C.new_key(ks[0], param)
+    rng = np.random.default_rng(seed + 1)
+    z = rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)
+    ct = C.encrypt(ks[1], param, pk,
+                   C.encode(param, jnp.asarray(z.real), jnp.asarray(z.imag)))
+    return param, sk, ks[2], z, ct
+
+
+def _dec(param, sk, ct):
+    rr, ri = C.decode(param, C.decrypt_to_coeffs(param, sk, ct))
+    return np.asarray(rr) + 1j * np.asarray(ri)
+
+
+def test_mul_pt_slotwise():
+    param, sk, kk, z, ct = _setup()
+    rng = np.random.default_rng(9)
+    w = rng.uniform(-1, 1, param.n // 2) + 1j * rng.uniform(-1, 1, param.n // 2)
+    from fhe_study_tpu.models.ckks import encoder_device
+    from fhe_study_tpu.models import bfv_rns
+    scale = float(param.qs[-1])
+    m = bfv_rns._to_residues(encoder_device.encode(
+        jnp.asarray(w.real), jnp.asarray(w.imag), param.n, scale), param.qs)
+    prod = C.mul_pt(param, ct, m)
+    ct2, param2 = C.rescale(param, prod)
+    param2 = C.Param(n=param.n, L=param.L - 1, delta=param.delta)
+    got = _dec(param2, sk, ct2)
+    np.testing.assert_allclose(got, z * w, atol=2e-3)
+
+
+def test_matvec_dense():
+    """Fully dense random complex matrix — exercises direct AND conjugate
+    diagonals."""
+    param, sk, kk, z, ct = _setup()
+    half = param.n // 2
+    rng = np.random.default_rng(3)
+    M = rng.uniform(-1, 1, (half, half)) + 1j * rng.uniform(-1, 1, (half, half))
+    rk = E.RotKeys.build(kk, param, sk, steps=range(half), conj=True)
+    ct2, param2 = E.matvec(param, rk, ct, M)
+    got = _dec(param2, sk, ct2)
+    np.testing.assert_allclose(got, M @ z, atol=5e-2)
+
+
+def test_matvec_banded_needs_few_keys():
+    """Diagonal-structure awareness: an identity-plus-shift matrix touches
+    only a couple of rotations."""
+    param, sk, kk, z, ct = _setup(seed=5)
+    half = param.n // 2
+    d, e = E.matrix_diagonals(np.eye(half), param.n)
+    assert set(d.keys()) == {0} and not e    # identity = rotation 0 only
+    # permutation matrix of rho_1 = exactly rotation 1 (+ possibly conj part)
+    perm, cj = E._orbit_maps(param.n)[0][1]
+    P = np.zeros((half, half))
+    for j in range(half):
+        if not cj[j]:
+            P[j, perm[j]] = 1.0
+    d, e = E.matrix_diagonals(P, param.n)
+    assert set(d.keys()) == {1} and not e
