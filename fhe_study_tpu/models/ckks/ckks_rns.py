@@ -165,6 +165,50 @@ def decode(param: Param, coeffs_f64):
     return encoder_device.decode(coeffs_f64, param.n, param.delta)
 
 
+# -- hybrid (P-extended) multiply: the low-noise production path ------------
+
+def hybrid_rlk(key, param: Param, sk: SecretKey, K: int = 2):
+    """P-extended relinearization key: encrypts P*g_i*s^2 under s.  Noise
+    after the switch is ~1 unit (vs ~2^36 for the plain RNS gadget at
+    30-bit primes) — required for chained multiplications at delta ~ 2^30."""
+    from .. import hybrid_ks
+    qs = param.qs
+    qv = _qvec(qs, sk.s_evals.ndim)
+    mv = barrett_muv(qs, sk.s_evals.ndim)
+    s2 = mulmod_v(sk.s_evals[: param.L], sk.s_evals[: param.L], qv, mv)
+    return hybrid_ks.hybrid_ksk(key, param, s2, sk.s_evals[: param.L], K=K)
+
+
+def mul_hybrid(param: Param, hrlk, x: CT, y: CT):
+    """(x (x) y) -> hybrid relinearize -> rescale.  Returns (ct', param')
+    with L-1 limbs and scale delta^2 / q_last."""
+    from .. import hybrid_ks
+    from ...ops import modops32
+    qs = param.qs
+    ex0, ex1 = (ntt_multi(c.astype(jnp.uint32), qs) for c in (x.c0, x.c1))
+    ey0, ey1 = (ntt_multi(c.astype(jnp.uint32), qs) for c in (y.c0, y.c1))
+    qv32, nqv32, r2v32 = (jnp.asarray(c)
+                          for c in modops32.consts(qs, x.c0.ndim))
+    ey0m = modops32.to_mont(ey0, qv32, nqv32, r2v32)
+    ey1m = modops32.to_mont(ey1, qv32, nqv32, r2v32)
+    d0 = intt_multi(modops32.mont_mul(ex0, ey0m, qv32, nqv32), qs)
+    d1 = intt_multi(modops32.addmod(
+        modops32.mont_mul(ex0, ey1m, qv32, nqv32),
+        modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32), qs)
+    d2 = intt_multi(modops32.mont_mul(ex1, ey1m, qv32, nqv32), qs)
+    sw = hybrid_ks.hybrid_key_switch(
+        param, hrlk, CT(d0.astype(U64), d2.astype(U64)))
+    qv = _qvec(qs, d1.ndim)
+    ct = CT(sw.c0, _addmod_v(sw.c1, d1.astype(U64), qv))
+    from .. import bfv_rns
+    bp = _bfv_param(param)
+    out = bfv_rns.mod_switch_drop(bp, bfv_rns.CT(ct.c0, ct.c1))
+    new_param = Param(n=param.n, L=param.L - 1,
+                      delta=param.delta * param.delta / qs[-1],
+                      prime_bits=param.prime_bits)
+    return CT(out.c0, out.c1), new_param
+
+
 # -- multiply + rescale (the standard RNS-CKKS pipeline) --------------------
 
 def _bfv_param(param: Param):
