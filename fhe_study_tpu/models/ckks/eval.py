@@ -31,27 +31,34 @@ from . import ckks_rns, encoder_device
 
 
 class RotKeys:
-    """Hybrid Galois keys for a set of rotation steps (+ conjugation)."""
+    """Hybrid Galois keys for a set of rotation steps (+ conjugation),
+    built PER LEVEL (the RNS gadget is basis-dependent — the same reason
+    relinearization keys are per-level in poly.py)."""
 
-    def __init__(self, param, keys: dict, conj_key=None):
-        self.keys = dict(keys)        # g -> HybridKSK
-        self.conj_key = conj_key
+    def __init__(self, keys: dict):
+        self.keys = dict(keys)        # (L, g) -> HybridKSK
 
     @classmethod
-    def build(cls, key, param, sk, steps, conj: bool = True, K: int = 2):
+    def build(cls, key, param, sk, steps, conj: bool = True, K: int = 2,
+              min_L: int = 2):
         n = param.n
-        keys = {}
         gs = sorted({galois.rotation_element(n, k) for k in steps if
                      k % (n // 2)})
-        for i, g in enumerate(gs):
-            keys[g] = hybrid_ks.galois_key_hybrid(
-                jax.random.fold_in(key, i), param, sk, g, K=K)
-        ck = None
         if conj:
-            ck = hybrid_ks.galois_key_hybrid(
-                jax.random.fold_in(key, len(gs) + 1), param, sk,
-                galois.conj_element(n), K=K)
-        return cls(param, keys, ck)
+            gs.append(galois.conj_element(n))
+        keys = {}
+        for L in range(min_L, param.L + 1):
+            pL = ckks_rns.Param(n=n, L=L, delta=param.delta,
+                                prime_bits=param.prime_bits)
+            skL = ckks_rns.SecretKey(sk.s_evals[:L])
+            for i, g in enumerate(gs):
+                keys[(L, g)] = hybrid_ks.galois_key_hybrid(
+                    jax.random.fold_in(key, L * 4096 + i), pL, skL, g, K=K)
+        return cls(keys)
+
+    def get(self, L: int, g: int):
+        assert (L, g) in self.keys, f"missing Galois key (L={L}, g={g})"
+        return self.keys[(L, g)]
 
 
 def rotate(param, rk: RotKeys, ct, k: int):
@@ -59,14 +66,12 @@ def rotate(param, rk: RotKeys, ct, k: int):
     g = galois.rotation_element(param.n, k)
     if g == 1:
         return ct
-    assert g in rk.keys, f"missing rotation key for step {k}"
-    return hybrid_ks.rotate_hybrid(param, rk.keys[g], ct, g)
+    return hybrid_ks.rotate_hybrid(param, rk.get(param.L, g), ct, g)
 
 
 def conjugate(param, rk: RotKeys, ct):
-    assert rk.conj_key is not None, "keyring built without conj"
-    return hybrid_ks.rotate_hybrid(param, rk.conj_key, ct,
-                                   galois.conj_element(param.n))
+    g = galois.conj_element(param.n)
+    return hybrid_ks.rotate_hybrid(param, rk.get(param.L, g), ct, g)
 
 
 @lru_cache(maxsize=None)
@@ -148,3 +153,69 @@ def matvec(param, rk: RotKeys, ct, M):
     param2 = ckks_rns.Param(n=param.n, L=param.L - 1, delta=param.delta,
                             prime_bits=param.prime_bits)
     return ct2, param2
+
+
+# ---------------------------------------------------------------------------
+# CoeffToSlot / SlotToCoeff — the linear stages of CKKS bootstrapping.
+#
+# For the device encoder, slot_j(ct) = m(zeta^{2j+1})/delta with
+# D[j,k] = zeta^{(2j+1)k} satisfying D D^H = n I and D conj(D)^T = 0, so the
+# (real) coefficient vector recovers as p = (1/n)(D^H z + conj(D^H z)).
+# ---------------------------------------------------------------------------
+
+def linear_rmap(param, rk: RotKeys, ct, A, B):
+    """Homomorphic R-linear slot map y = A z + B conj(z) (two matvecs; one
+    level).  Zero matrices are skipped."""
+    A = np.asarray(A)
+    B = np.asarray(B)
+    outs = []
+    if np.any(A):
+        outs.append(matvec(param, rk, ct, A))
+    if np.any(B):
+        outs.append(matvec(param, rk, conjugate(param, rk, ct), B))
+    assert outs, "zero map"
+    if len(outs) == 1:
+        return outs[0]
+    (c1, p1), (c2, _) = outs
+    return ckks_rns.add(p1, c1, c2), p1
+
+
+@lru_cache(maxsize=None)
+def _c2s_matrices(n: int):
+    """A1/B1 (slots -> first-half coeffs) and A2/B2 (second half)."""
+    half = n // 2
+    k = np.arange(n)[:, None]
+    j = np.arange(half)[None, :]
+    zeta = np.exp(1j * np.pi / n)
+    Dh = zeta ** (-((2 * j + 1) * k))          # [n, half] = D^H
+    A = Dh / n
+    return ((A[:half], A[:half].conj()), (A[half:], A[half:].conj()))
+
+
+@lru_cache(maxsize=None)
+def _s2c_matrices(n: int):
+    """D1, D2: coeffs-in-slots -> slots of the packed polynomial."""
+    half = n // 2
+    j = np.arange(half)[:, None]
+    k = np.arange(n)[None, :]
+    zeta = np.exp(1j * np.pi / n)
+    D = zeta ** ((2 * j + 1) * k)              # [half, n]
+    return D[:, :half], D[:, half:]
+
+
+def coeff_to_slot(param, rk: RotKeys, ct):
+    """-> (ct1, ct2, param'): slots(ct1) = coeffs p[0:n/2]/1, slots(ct2) =
+    p[n/2:n] (both real; one level consumed)."""
+    (A1, B1), (A2, B2) = _c2s_matrices(param.n)
+    c1, p1 = linear_rmap(param, rk, ct, A1, B1)
+    c2, _ = linear_rmap(param, rk, ct, A2, B2)
+    return c1, c2, p1
+
+
+def slot_to_coeff(param, rk: RotKeys, ct1, ct2):
+    """Inverse of coeff_to_slot: packs slots(ct1)|slots(ct2) back into the
+    coefficient positions.  -> (ct, param')."""
+    D1, D2 = _s2c_matrices(param.n)
+    c1, p1 = matvec(param, rk, ct1, D1)
+    c2, _ = matvec(param, rk, ct2, D2)
+    return ckks_rns.add(p1, c1, c2), p1

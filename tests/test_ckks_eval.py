@@ -69,3 +69,27 @@ def test_matvec_banded_needs_few_keys():
             P[j, perm[j]] = 1.0
     d, e = E.matrix_diagonals(P, param.n)
     assert set(d.keys()) == {1} and not e
+
+
+def test_coeff_to_slot_and_back():
+    """C2S exposes the polynomial coefficients in slots; S2C re-packs them.
+    The full C2S -> S2C pipeline returns the original slot vector."""
+    from fhe_study_tpu.models.ckks import encoder_device
+    param, sk, kk, z, ct = _setup(n=32, L=6)
+    half = param.n // 2
+    rk = E.RotKeys.build(kk, param, sk, steps=range(half), conj=True)
+    # ground-truth coefficient vector of the encoded message
+    p_true = np.asarray(encoder_device.encode(
+        jnp.asarray(z.real), jnp.asarray(z.imag), param.n,
+        param.delta)).astype(np.float64) / param.delta
+
+    c1, c2, p1 = E.coeff_to_slot(param, rk, ct)
+    s1 = _dec(p1, sk, c1)
+    s2 = _dec(p1, sk, c2)
+    np.testing.assert_allclose(s1.real, p_true[:half], atol=2e-2)
+    np.testing.assert_allclose(s2.real, p_true[half:], atol=2e-2)
+    np.testing.assert_allclose(s1.imag, 0, atol=2e-2)
+
+    back, p2 = E.slot_to_coeff(p1, rk, c1, c2)
+    got = _dec(p2, sk, back)
+    np.testing.assert_allclose(got, z, atol=5e-2)
