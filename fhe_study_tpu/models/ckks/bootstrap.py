@@ -1,0 +1,194 @@
+"""CKKS bootstrapping: refresh an exhausted (level-1) ciphertext to a high
+level without decrypting.
+
+Far beyond the reference's surface (its CKKS stops at encrypt/add,
+ckks/src/lib.rs:113-118) — this is the full production pipeline
+(eprint 2018/153 structure), built from this library's own toolkit:
+
+  1. ModRaise      — reinterpret the level-1 residues (centered) over the
+                     full basis: phase becomes t = m + q0*I, |I| <= K.
+  2. CoeffToSlot   — eval.coeff_to_slot with the twist constants folded in:
+                     slots w = (2*pi*t/q0 - pi/2) / (2^r * vmax), |w| <= 1.
+  3. EvalMod       — cos(vmax*w) by even Taylor series in y = w^2
+                     (poly.poly_eval), then r double-angle steps
+                     cos(2x) = 2cos^2 x - 1 (each: 1 mul + add + const),
+                     yielding sin(2*pi*t/q0) ~ 2*pi*(t mod q0)/q0.
+  4. SlotToCoeff   — eval.slot_to_coeff scaled by q0/(2*pi): coefficients
+                     return to ~m, now under the big modulus.
+
+Level budget: 1 (C2S) + 1 (w^2) + ceil(log2(deg/2)) + 1 (fold) + r
+(doublings) + 1 (S2C);  with deg=24, r=3 that is 11 levels.
+
+Key material (relinearization + rotation keys) is basis-dependent, so keys
+are built lazily per level from the secret key (fine for a functional API;
+a deployment would precompute the two rotation levels + mul levels)."""
+
+import math
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...ops import modops32
+from .. import bfv_rns, galois, hybrid_ks
+from . import ckks_rns, eval as ev, poly
+
+U64 = jnp.uint64
+
+
+class BootstrapKeys:
+    """Lazy per-level key cache (holds sk — see module docstring)."""
+
+    def __init__(self, key, param, sk):
+        self.key = key
+        self.param = param
+        self.sk = sk
+        self._rlk = {}
+        self._rot = {}
+
+    def rlks(self):
+        return _LazyRlk(self)
+
+    def rotkeys(self):
+        return _LazyRot(self)
+
+
+class _LazyRlk(dict):
+    def __init__(self, bk):
+        super().__init__()
+        self.bk = bk
+
+    def __missing__(self, L):
+        pL = ckks_rns.Param(n=self.bk.param.n, L=L, delta=self.bk.param.delta,
+                            prime_bits=self.bk.param.prime_bits)
+        k = jax.random.fold_in(self.bk.key, 100000 + L)
+        self[L] = ckks_rns.hybrid_rlk(k, pL,
+                                      ckks_rns.SecretKey(self.bk.sk.s_evals[:L]))
+        return self[L]
+
+
+class _LazyRot(ev.RotKeys):
+    def __init__(self, bk):
+        super().__init__({})
+        self.bk = bk
+
+    def get(self, L: int, g: int):
+        if (L, g) not in self.keys:
+            pL = ckks_rns.Param(n=self.bk.param.n, L=L,
+                                delta=self.bk.param.delta,
+                                prime_bits=self.bk.param.prime_bits)
+            k = jax.random.fold_in(self.bk.key, 200000 + L * 8192 + g)
+            self.keys[(L, g)] = hybrid_ks.galois_key_hybrid(
+                k, pL, ckks_rns.SecretKey(self.bk.sk.s_evals[:L]), g)
+        return self.keys[(L, g)]
+
+
+def mod_raise(param_boot, ct_l1):
+    """Level-1 residues (mod q0 = qs[0]), centered lift, re-reduced over the
+    full basis.  Output phase = m + q0*I over Q."""
+    qs = param_boot.qs
+    q0 = qs[0]
+    L = param_boot.L
+
+    def raise_one(c):
+        v = c[0]                                   # [., n] mod q0
+        # centered: v_c in (-q0/2, q0/2]; residues of v_c mod each q_j
+        neg = v > U64(q0 // 2)
+        out = []
+        for j, qj in enumerate(qs):
+            pos = v if qj == q0 else v % U64(qj)
+            vneg = (U64(qj) - ((U64(q0) - v) % U64(qj))) % U64(qj)
+            out.append(jnp.where(neg, vneg, pos))
+        return jnp.stack(out, 0)
+
+    return ckks_rns.CT(raise_one(ct_l1.c0), raise_one(ct_l1.c1))
+
+
+@lru_cache(maxsize=None)
+def _cos_taylor_even(deg: int, vmax: float):
+    """cos(vmax*w) = sum_j c_j (w^2)^j, j = 0..deg/2 (exact even Taylor)."""
+    out = []
+    for j in range(deg // 2 + 1):
+        out.append((-1.0) ** j * vmax ** (2 * j) / math.factorial(2 * j))
+    return tuple(out)
+
+
+def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
+              K: int = 7, r: int = 3, deg: int = 24,
+              delta_w: float = 2.0 ** 30):
+    # NB delta_w must sit at ~the prime size: each multiply rescales by a
+    # ~2^30 prime, so a smaller working scale would COLLAPSE geometrically
+    # through the power ladder (delta -> delta^2/q).
+    """ct_l1: level-1 ciphertext with message scale delta0 (|phase| << q0).
+    Returns (ct', param') at a high level with the same message and scale
+    ~delta0 (exact output scale in param'.delta)."""
+    n = param_boot.n
+    qs = param_boot.qs
+    q0 = qs[0]
+    rk = keys.rotkeys()
+    rlks = keys.rlks()
+
+    # 1. raise
+    ct = mod_raise(param_boot, ct_l1)
+    # 2. C2S with the affine twist folded in: w = (2 pi t / q0 - pi/2) / (2^r vmax)
+    vmax = (2 * math.pi * (K + 0.5) + math.pi / 2) / (1 << r)
+    a = 2 * math.pi / (q0 * (1 << r) * vmax)
+    b = (-math.pi / 2) / ((1 << r) * vmax)
+    (A1, B1), (A2, B2) = ev._c2s_matrices(n)
+    scale_fold = a * delta_w
+    pw = ckks_rns.Param(n=n, L=param_boot.L, delta=delta_w,
+                        prime_bits=param_boot.prime_bits)
+    outs = []
+    for A, B in ((A1, B1), (A2, B2)):
+        c_, p_ = ev.linear_rmap(
+            ckks_rns.Param(n=n, L=param_boot.L, delta=1.0,
+                           prime_bits=param_boot.prime_bits),
+            rk, ct, A * scale_fold, B * scale_fold)
+        p_ = ckks_rns.Param(n=n, L=p_.L, delta=delta_w,
+                            prime_bits=param_boot.prime_bits)
+        c_ = poly.add_pt_const(p_, c_, b * 1.0)
+        outs.append((c_, p_))
+
+    # 3. EvalMod on each half; the trailing degree-3 polynomial is the
+    # inverse-sine correction arcsin(s) ~ s + s^3/6, which cancels the
+    # linearization error of sin(2 pi m / q0) ~ 2 pi m / q0 — allowing a
+    # message scale delta0 up to ~q0/2^6 at full precision.
+    coeffs = _cos_taylor_even(deg, vmax)
+    halves = []
+    for c_, p_ in outs:
+        y, py = poly.mul_ct(rlks, c_, p_, c_, p_)          # y = w^2
+        cosv, pc = poly.poly_eval(rlks, y, py, list(coeffs))
+        for _ in range(r):                                  # double angle
+            sq, ps = poly.mul_ct(rlks, cosv, pc, cosv, pc)
+            dbl = ckks_rns.add(ps, sq, sq)                  # 2 cos^2
+            cosv = poly.add_pt_const(ps, dbl, -1.0)
+            pc = ps
+        cosv, pc = poly.poly_eval(rlks, cosv, pc,
+                                  [0.0, 1.0, 0.0, 1.0 / 6.0])
+        halves.append((cosv, pc))
+
+    # 4. S2C scaled by q0/(2 pi); output scale = delta_sin * delta0 / delta0...
+    (s1, p1), (s2, p2) = halves
+    L = min(p1.L, p2.L)
+    s1, p1 = poly.level_drop(p1, s1, L)
+    s2, p2 = poly.level_drop(p2, s2, L)
+    D1, D2 = ev._s2c_matrices(n)
+    fold = q0 / (2 * math.pi)
+    c1, pf = ev.matvec(p1, rk, s1, D1 * fold)
+    c2, _ = ev.matvec(ckks_rns.Param(n=n, L=L, delta=p2.delta,
+                                     prime_bits=param_boot.prime_bits),
+                      rk, s2, D2 * fold)
+    out = ckks_rns.add(pf, c1, c2)
+    # phase = delta_sin * (q0/2pi) * sin(2 pi t / q0) ~ delta_sin * (t mod q0)
+    # with t's message at scale delta0 -> effective scale delta_sin * delta0
+    pout = ckks_rns.Param(n=n, L=pf.L, delta=pf.delta * delta0,
+                          prime_bits=param_boot.prime_bits)
+    # final rescale: drop the working-scale factor (delta_sin ~ one prime)
+    # so the output sits near the INPUT scale and further multiplications
+    # do not overflow the remaining modulus
+    out, _ = ckks_rns.rescale(pout, out)
+    pout = ckks_rns.Param(n=n, L=pout.L - 1,
+                          delta=pout.delta / pout.qs[pout.L - 1],
+                          prime_bits=param_boot.prime_bits)
+    return out, pout
