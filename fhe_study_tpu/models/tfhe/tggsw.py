@@ -176,7 +176,14 @@ def external_product_evals(param: Param, gev: TGGSWEvals, c: GLWE,
     d = tn.decompose(ab, beta, l)                             # [l, ..., K+1, N]
     d = jnp.moveaxis(d, 0, -2)                                # [..., K+1, l, N]
 
-    dd = jnp.stack([d % U64(p1), d % U64(p2)], 0).astype(jnp.uint32)
+    if beta <= min(pq):
+        # digits are UNSIGNED in [0, beta) (tn.decompose) — already reduced
+        # mod both primes; the generic u64 `%` would cost an emulated
+        # division chain per element for nothing
+        d32 = d.astype(jnp.uint32)
+        dd = jnp.stack([d32, d32], 0)
+    else:
+        dd = jnp.stack([d % U64(p1), d % U64(p2)], 0).astype(jnp.uint32)
     ed = ntt_multi(dd, pq)                                    # u32
     ev = jnp.stack([gev.ev1, gev.ev2], 0)                     # [2, r, l, c, 2, N] mont
     edx = ed[..., :, :, None, None, :]                        # [2, .., r, l, 1, 1, N]
