@@ -154,6 +154,66 @@ def bench_bfv_linear():
     }))
 
 
+def bench_ckks():
+    """BASELINE config 4: CKKS encode+encrypt+add+mul+rescale pipeline,
+    N=2^13, batched."""
+    import numpy as np
+    from fhe_study_tpu.models.ckks import ckks_rns as C
+    n = int(os.environ.get("FHE_BENCH_N", 1 << 13))
+    L = int(os.environ.get("FHE_BENCH_L", 4))
+    B = int(os.environ.get("FHE_BENCH_B", 32))
+    iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
+    param = C.Param(n=n, L=L, delta=2.0 ** 28)
+    ks = prng.split(jax.random.PRNGKey(0), 5)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sk, pk = C.new_key(ks[0], param)
+        hrlk = C.hybrid_rlk(ks[1], param, sk)
+        rng = np.random.default_rng(0)
+        z1 = rng.uniform(-1, 1, (B, n // 2))
+        z2 = rng.uniform(-1, 1, (B, n // 2))
+        c1 = C.encrypt(ks[2], param, pk,
+                       C.encode(param, jnp.asarray(z1), jnp.zeros_like(z1)),
+                       batch=(B,))
+        c2 = C.encrypt(ks[3], param, pk,
+                       C.encode(param, jnp.asarray(z2), jnp.zeros_like(z2)),
+                       batch=(B,))
+    dev = jax.devices()[0]
+    hrlk, c1, c2 = jax.tree.map(lambda x: jax.device_put(x, dev),
+                                (hrlk, c1, c2))
+    step = jax.jit(lambda a0, a1, b0, b1, hb, ha: C.mul_hybrid(
+        param, type(hrlk)(hb, ha), C.CT(a0, a1),
+        C.add(param, C.CT(a0, a1), C.CT(b0, b1)))[0])
+    probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
+    out = step(c1.c0, c1.c1, c2.c0, c2.c1, hrlk.b, hrlk.a)
+    float(probe(out[0]))
+    fresh = out                            # decrypt-verified below
+    # timing chain: pad the rescaled output back to L limbs (values are
+    # garbage but DIFFERENT every iteration — defeats any result caching)
+    pad = lambda a: jnp.concatenate([a, a[-1:]], axis=0)  # noqa: E731
+    t0 = time.perf_counter()
+    cur = (c2.c0, c2.c1)
+    for _ in range(iters):
+        timed = step(c1.c0, c1.c1, cur[0], cur[1], hrlk.b, hrlk.a)
+        cur = (pad(timed[0]), pad(timed[1]))
+    float(probe(timed[0]))
+    dt = time.perf_counter() - t0
+    # correctness check: fresh add+mul decrypts to (z1+z2)*z1
+    with jax.default_device(cpu):
+        out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), fresh)
+        p2 = C.Param(n=n, L=L - 1, delta=param.delta ** 2 / param.qs[-1])
+        rr, _ = C.decode(p2, C.decrypt_to_coeffs(p2, sk, C.CT(*out_cpu)))
+    ok = bool(np.allclose(np.asarray(rr), (z1 + z2) * z1, atol=1e-2))
+    value = B * iters / dt
+    print(json.dumps({
+        "metric": f"ckks_rns_add_mul_rescale_n{n}_per_sec_per_chip"
+                  + ("" if ok else "_DECRYPT_FAIL"),
+        "value": round(value, 3),
+        "unit": "ops/s",
+        "vs_baseline": round(value / 62500.0, 6),
+    }))
+
+
 def main():
     kind = os.environ.get("FHE_BENCH_KIND", "bfv")
     if kind == "tfhe":
@@ -161,6 +221,9 @@ def main():
         return
     if kind == "bfv_linear":
         bench_bfv_linear()
+        return
+    if kind == "ckks":
+        bench_ckks()
         return
     n = int(os.environ.get("FHE_BENCH_N", 1 << 14))
     L = int(os.environ.get("FHE_BENCH_L", 4))
