@@ -52,3 +52,35 @@ def test_cyclic_ntt_roundtrip_and_convolution():
         want = [sum(int(aa[i, j]) * int(bb[i, (k - j) % n]) for j in range(n)) % Q
                 for k in range(n)]
         np.testing.assert_array_equal(np.asarray(c[i]), want)
+
+
+def test_dp_sharded_galois_rotation():
+    """Batched BFV slot rotation with the ciphertext batch sharded over dp:
+    bit-identical to the single-device result (rotation = static gather +
+    RNS-gadget key switch — both shard trivially over the batch axis)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from fhe_study_tpu.models import bfv_rns as R
+    from fhe_study_tpu.models import galois
+    from fhe_study_tpu.utils import prng
+
+    m = mesh_mod.make_mesh(dp=8, ep=1, sp=1)
+    param = R.RnsParam(n=64, t=65537, L=3, M=4)
+    ks = prng.split(jax.random.PRNGKey(21), 4)
+    sk, pk = R.new_key(ks[0], param)
+    B = 8
+    msg = prng.uniform_mod(ks[1], (B, param.n), param.t)
+    c = R.encrypt(ks[2], param, pk, msg, batch=(B,))
+    g = 5
+    gk = galois.galois_key(ks[3], param, sk, g)
+
+    want = galois.apply_to_ct(param, gk, c, g)            # single device
+
+    shard = NamedSharding(m, P(None, "dp", None))         # [L, B, n]
+    c_sh = R.CT(jax.device_put(c.c0, shard), jax.device_put(c.c1, shard))
+    rot = jax.jit(lambda c0, c1, kb, ka: galois.apply_to_ct(
+        param, R.RLK(kb, ka), R.CT(c0, c1), g))
+    got = rot(c_sh.c0, c_sh.c1, gk.b, gk.a)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want.c0))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want.c1))
+    rec = np.asarray(R.decrypt(param, sk, R.CT(got[0], got[1])))
+    assert rec.shape == (B, param.n)
