@@ -181,21 +181,25 @@ def bench_ckks():
     dev = jax.devices()[0]
     hrlk, c1, c2 = jax.tree.map(lambda x: jax.device_put(x, dev),
                                 (hrlk, c1, c2))
-    step = jax.jit(lambda a0, a1, b0, b1, hb, ha: C.mul_hybrid(
-        param, type(hrlk)(hb, ha), C.CT(a0, a1),
-        C.add(param, C.CT(a0, a1), C.CT(b0, b1)))[0])
+    def _step(a0, a1, b0, b1, hb, ha):
+        out = C.mul_hybrid(param, type(hrlk)(hb, ha), C.CT(a0, a1),
+                           C.add(param, C.CT(a0, a1), C.CT(b0, b1)))[0]
+        # padded copies keep the chained input at L limbs (values garbage
+        # but DIFFERENT each iteration); padding stays IN-GRAPH — an eager
+        # concat would dispatch through the device tunnel per iteration
+        pad = lambda a: jnp.concatenate([a, a[-1:]], axis=0)  # noqa: E731
+        return out[0], out[1], pad(out[0]), pad(out[1])
+
+    step = jax.jit(_step)
     probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
     out = step(c1.c0, c1.c1, c2.c0, c2.c1, hrlk.b, hrlk.a)
     float(probe(out[0]))
-    fresh = out                            # decrypt-verified below
-    # timing chain: pad the rescaled output back to L limbs (values are
-    # garbage but DIFFERENT every iteration — defeats any result caching)
-    pad = lambda a: jnp.concatenate([a, a[-1:]], axis=0)  # noqa: E731
+    fresh = out[:2]                        # decrypt-verified below
     t0 = time.perf_counter()
     cur = (c2.c0, c2.c1)
     for _ in range(iters):
         timed = step(c1.c0, c1.c1, cur[0], cur[1], hrlk.b, hrlk.a)
-        cur = (pad(timed[0]), pad(timed[1]))
+        cur = (timed[2], timed[3])
     float(probe(timed[0]))
     dt = time.perf_counter() - t0
     # correctness check: fresh add+mul decrypts to (z1+z2)*z1
