@@ -218,6 +218,71 @@ def bench_ckks():
     }))
 
 
+def bench_ckks_boot():
+    """CKKS bootstrap throughput: ModRaise -> C2S (BSGS, hoisted babies,
+    precompiled diagonal plans) -> EvalMod -> S2C, the whole pipeline ONE
+    jitted function (keys/plans passed as a pytree argument — no giant
+    closure constants)."""
+    import numpy as np
+    from fhe_study_tpu.models.ckks import bootstrap as BB
+    from fhe_study_tpu.models.ckks import ckks_rns as C
+    from fhe_study_tpu.models.ckks import poly as P
+    n = int(os.environ.get("FHE_BENCH_N", 1 << 12))
+    L = int(os.environ.get("FHE_BENCH_L", 18))
+    B = int(os.environ.get("FHE_BENCH_B", 8))
+    iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
+    delta0 = 2.0 ** 24
+    param = C.Param(n=n, L=L, delta=delta0)
+    ks = prng.split(jax.random.PRNGKey(0), 3)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        sk, pk = C.new_key(ks[0], param)
+        rng = np.random.default_rng(0)
+        z = rng.uniform(-1, 1, (B, n // 2))
+        ct = C.encrypt(ks[1], param, pk,
+                       C.encode(param, jnp.asarray(z), jnp.zeros_like(z)),
+                       batch=(B,))
+        ct1, _ = P.level_drop(param, ct, 1)
+        keys = BB.BootstrapKeys(ks[2], param, sk)
+        # eager CPU warmup builds every rotation/relin key + diagonal plan
+        out_w, pout = BB.bootstrap(param, keys, ct1, delta0=delta0)
+        arrays, static = BB.freeze(keys)
+    dev = jax.devices()[0]
+    arrays, ct1 = jax.tree.map(lambda x: jax.device_put(x, dev),
+                               (arrays, ct1))
+
+    def _step(c0, c1, arr):
+        fk = BB.FrozenKeys(arr, static)
+        out, po = BB.bootstrap(param, fk, C.CT(c0, c1), delta0=delta0)
+        nxt, _ = P.level_drop(po, out, 1)   # chain back to level 1 in-graph
+        return out.c0, out.c1, nxt.c0, nxt.c1
+
+    step = jax.jit(_step)
+    probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
+    res = step(ct1.c0, ct1.c1, arrays)
+    float(probe(res[0]))
+    fresh = res[:2]                        # decrypt-verified below
+    t0 = time.perf_counter()
+    cur = (ct1.c0, ct1.c1)
+    for _ in range(iters):
+        out_t = step(cur[0], cur[1], arrays)
+        cur = (out_t[2], out_t[3])
+    float(probe(out_t[0]))
+    dt = time.perf_counter() - t0
+    with jax.default_device(cpu):
+        out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), fresh)
+        rr, _ = C.decode(pout, C.decrypt_to_coeffs(pout, sk, C.CT(*out_cpu)))
+    ok = bool(np.allclose(np.asarray(rr), z, atol=5e-2))
+    value = B * iters / dt
+    print(json.dumps({
+        "metric": f"ckks_bootstrap_n{n}_per_sec_per_chip"
+                  + ("" if ok else "_DECRYPT_FAIL"),
+        "value": round(value, 3),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(value / 62500.0, 6),
+    }))
+
+
 def main():
     kind = os.environ.get("FHE_BENCH_KIND", "bfv")
     if kind == "tfhe":
@@ -228,6 +293,9 @@ def main():
         return
     if kind == "ckks":
         bench_ckks()
+        return
+    if kind == "ckks_boot":
+        bench_ckks_boot()
         return
     n = int(os.environ.get("FHE_BENCH_N", 1 << 14))
     L = int(os.environ.get("FHE_BENCH_L", 4))

@@ -44,14 +44,20 @@ class BootstrapKeys:
         self.key = key
         self.param = param
         self.sk = sk
-        self._rlk = {}
-        self._rot = {}
+        self._rlk = None
+        self._rot = None
+        self._plans = {}   # (tag, L, ...) -> ev.RmapPlan (C2S/S2C reuse)
 
     def rlks(self):
-        return _LazyRlk(self)
+        # persistent: later bootstrap() calls reuse already-built keys
+        if self._rlk is None:
+            self._rlk = _LazyRlk(self)
+        return self._rlk
 
     def rotkeys(self):
-        return _LazyRot(self)
+        if self._rot is None:
+            self._rot = _LazyRot(self)
+        return self._rot
 
 
 class _LazyRlk(dict):
@@ -82,6 +88,41 @@ class _LazyRot(ev.RotKeys):
             self.keys[(L, g)] = hybrid_ks.galois_key_hybrid(
                 k, pL, ckks_rns.SecretKey(self.bk.sk.s_evals[:L]), g)
         return self.keys[(L, g)]
+
+
+def freeze(keys: BootstrapKeys):
+    """Split lazily-built key material into (arrays, static): `arrays` is a
+    jit-passable pytree (every HybridKSK + plan diagonal tensor), `static`
+    the host-side plan metadata.  Call AFTER one eager bootstrap() has
+    populated the caches; rehydrate per-trace with FrozenKeys(arrays,
+    static) — this is how the whole bootstrap becomes ONE jitted function
+    with no giant closure constants (remote-compile 413 guard)."""
+    arrays = {
+        "rlk": dict(keys.rlks()),
+        "rot": dict(keys.rotkeys().keys),
+        "em": {k: p.em for k, p in keys._plans.items()},
+    }
+    static = {k: (p.n1, frozenset(p.need_d), frozenset(p.need_e), p.maps)
+              for k, p in keys._plans.items()}
+    return arrays, static
+
+
+class FrozenKeys:
+    """Prebuilt bootstrap key material (see freeze); drop-in for
+    BootstrapKeys inside jit."""
+
+    def __init__(self, arrays, static):
+        self._rlk = arrays["rlk"]
+        self._rot = ev.RotKeys(arrays["rot"])
+        self._plans = {
+            k: ev.RmapPlan(n1, set(nd), set(ne), maps, arrays["em"][k])
+            for k, (n1, nd, ne, maps) in static.items()}
+
+    def rlks(self):
+        return self._rlk
+
+    def rotkeys(self):
+        return self._rot
 
 
 def mod_raise(param_boot, ct_l1):
@@ -139,13 +180,17 @@ def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
     scale_fold = a * delta_w
     pw = ckks_rns.Param(n=n, L=param_boot.L, delta=delta_w,
                         prime_bits=param_boot.prime_bits)
+    p_unit = ckks_rns.Param(n=n, L=param_boot.L, delta=1.0,
+                            prime_bits=param_boot.prime_bits)
+    pkey = ("c2s", param_boot.L, K, r, delta_w)
+    if pkey not in keys._plans:
+        keys._plans[pkey] = ev.build_rmap_plan(
+            p_unit, [(A1 * scale_fold, B1 * scale_fold),
+                     (A2 * scale_fold, B2 * scale_fold)])
+    cs, _ = ev.apply_rmap_plan(p_unit, rk, ct, keys._plans[pkey])
     outs = []
-    for A, B in ((A1, B1), (A2, B2)):
-        c_, p_ = ev.linear_rmap(
-            ckks_rns.Param(n=n, L=param_boot.L, delta=1.0,
-                           prime_bits=param_boot.prime_bits),
-            rk, ct, A * scale_fold, B * scale_fold)
-        p_ = ckks_rns.Param(n=n, L=p_.L, delta=delta_w,
+    for c_ in cs:
+        p_ = ckks_rns.Param(n=n, L=param_boot.L - 1, delta=delta_w,
                             prime_bits=param_boot.prime_bits)
         c_ = poly.add_pt_const(p_, c_, b * 1.0)
         outs.append((c_, p_))
@@ -175,10 +220,17 @@ def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
     s2, p2 = poly.level_drop(p2, s2, L)
     D1, D2 = ev._s2c_matrices(n)
     fold = q0 / (2 * math.pi)
-    c1, pf = ev.matvec(p1, rk, s1, D1 * fold)
-    c2, _ = ev.matvec(ckks_rns.Param(n=n, L=L, delta=p2.delta,
-                                     prime_bits=param_boot.prime_bits),
-                      rk, s2, D2 * fold)
+    for tag, D in (("s2c1", D1), ("s2c2", D2)):
+        if (tag, L) not in keys._plans:
+            keys._plans[(tag, L)] = ev.build_rmap_plan(
+                ckks_rns.Param(n=n, L=L, delta=1.0,
+                               prime_bits=param_boot.prime_bits),
+                [(D * fold, None)])
+    (c1,), pf = ev.apply_rmap_plan(p1, rk, s1, keys._plans[("s2c1", L)])
+    (c2,), _ = ev.apply_rmap_plan(
+        ckks_rns.Param(n=n, L=L, delta=p2.delta,
+                       prime_bits=param_boot.prime_bits),
+        rk, s2, keys._plans[("s2c2", L)])
     out = ckks_rns.add(pf, c1, c2)
     # phase = delta_sin * (q0/2pi) * sin(2 pi t / q0) ~ delta_sin * (t mod q0)
     # with t's message at scale delta0 -> effective scale delta_sin * delta0

@@ -26,6 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ...ops.ntt import ntt_multi, intt_multi
 from .. import bfv_rns, galois, hybrid_ks
 from . import ckks_rns, encoder_device
 
@@ -156,6 +157,190 @@ def matvec(param, rk: RotKeys, ct, M):
 
 
 # ---------------------------------------------------------------------------
+# Baby-step/giant-step (BSGS) slot maps — the production path for DENSE
+# matrices (C2S/S2C): ~2*sqrt(n/2) rotations instead of one per diagonal,
+# with the baby rotations hoisted (one digit decomposition per input ct;
+# hybrid_ks.rotate_hoisted).
+# ---------------------------------------------------------------------------
+
+def _inv_slot_apply(n: int, g: int, u):
+    """Host: v with slotmap_g(v) = u — i.e. v[perm[j]] = conj^{cj[j]}(u[j]),
+    so that  d .* rho_g(w) == rho_g(inv(d) .* w)  for plaintext diagonals."""
+    perm, cj = galois.ckks_slot_perm(n, g)
+    v = np.empty_like(u)
+    v[perm] = np.where(cj, np.conj(u), u)
+    return v
+
+
+def rmap_diagonals(A, B, n: int):
+    """Diagonals of the R-linear slot map y = A z + B conj(z):
+    y = sum_k D_k .* rho_k(z) + sum_k E_k .* rho_k(z_c).  The B-part rides
+    the same orbit through z_c: B z_c contributes its d-diagonals to E and
+    its e-diagonals (which reach back through (z_c)_c = z) to D."""
+    D, E = {}, {}
+    for M, (lin, anti) in ((A, (D, E)), (B, (E, D))):
+        if M is None or not np.any(M):
+            continue
+        d, e = matrix_diagonals(np.asarray(M), n)
+        for k, v in d.items():
+            lin[k] = lin.get(k, 0) + v
+        for k, v in e.items():
+            anti[k] = anti.get(k, 0) + v
+    return D, E
+
+
+def _bsgs_n1(n: int) -> int:
+    half = n // 2
+    return 1 << ((half.bit_length()) // 2)
+
+
+def bsgs_steps(n: int, n1: int | None = None):
+    """Rotation steps a RotKeys ring needs for rmap_bsgs (babies + giants;
+    conj=True covers the antilinear part)."""
+    half = n // 2
+    n1 = n1 or _bsgs_n1(n)
+    return sorted(set(range(1, n1)) |
+                  {n1 * i for i in range(1, -(-half // n1))})
+
+
+class RmapPlan:
+    """Precompiled BSGS plan for a fixed list of maps y_m = A_m z + B_m z_c.
+
+    k = n1*i + j splits every rotation as rho_{n1 i} o rho_j.  Host side:
+    combined diagonals, giant-block grouping, inverse-giant pre-rotation of
+    every diagonal (exact complex).  Device side: ALL diagonals encoded,
+    NTT'd and Montgomery-lifted in one batched launch — the apply-time
+    inner loops are pure pointwise contraction (zero per-term transforms).
+
+    Reusable across ciphertexts at the same level (bootstrap amortization);
+    em is [L, num, n] u32 on device."""
+
+    def __init__(self, n1, need_d, need_e, maps, em):
+        self.n1 = n1
+        self.need_d = need_d        # baby steps j feeding rho_j(z)
+        self.need_e = need_e        # baby steps j feeding rho_j(z_c)
+        self.maps = maps            # per map: [(gi, [(idx, src, j), ...])]
+        self.em = em                # [L, num, n] u32 Montgomery eval domain
+
+
+def build_rmap_plan(param, maps, n1: int | None = None) -> RmapPlan:
+    from .. import bfv_rns as _bfv
+    from ...ops import modops32
+    n = param.n
+    half = n // 2
+    n1 = n1 or _bsgs_n1(n)
+    scale_pt = float(param.qs[-1])
+    vecs, plan_maps = [], []
+    need_d, need_e = set(), set()
+    for (A, B) in maps:
+        D, E = rmap_diagonals(A, B, n)
+        assert D or E, "zero map"
+        giants = []
+        for i in range(-(-half // n1)):
+            gi = i * n1
+            ggi = galois.rotation_element(n, gi)
+            entries = []
+            for j in range(min(n1, half - gi)):
+                k = gi + j
+                if k in D:
+                    entries.append((len(vecs), 0, j))
+                    need_d.add(j)
+                    vecs.append(_inv_slot_apply(n, ggi, D[k]))
+                if k in E:
+                    entries.append((len(vecs), 1, j))
+                    need_e.add(j)
+                    vecs.append(_inv_slot_apply(n, ggi, E[k]))
+            if entries:
+                giants.append((gi, entries))
+        plan_maps.append(giants)
+    V = np.stack(vecs)                                   # [num, half]
+    m = encoder_device.encode(jnp.asarray(V.real), jnp.asarray(V.imag),
+                              n, scale_pt)               # [num, n] i64
+    res = _bfv._to_residues(m, param.qs)                 # [L, num, n]
+    qv32, nqv32, r2v32 = (jnp.asarray(c)
+                          for c in modops32.consts(param.qs, 3))
+    em = modops32.to_mont(ntt_multi(res.astype(jnp.uint32), param.qs),
+                          qv32, nqv32, r2v32)
+    return RmapPlan(n1, need_d, need_e, plan_maps, em)
+
+
+def apply_rmap_plan(param, rk: RotKeys, ct, plan: RmapPlan):
+    """Execute a plan: (n1-1) hoisted baby rotations of z (+ of z_c if any
+    map has an antilinear part) shared across all maps; per (map, giant
+    block) one eval-domain pointwise contraction + one full rotation.  One
+    rescale each; one level consumed.  Returns ([ct_m...], param')."""
+    from .. import hybrid_ks
+    from ...ops import modops32
+    n = param.n
+    qs = param.qs
+    edm = hybrid_ks.hoist_digits(param, ct.c1)
+    zc = None
+    if plan.need_e:
+        gc = galois.conj_element(n)
+        zc = hybrid_ks.rotate_hoisted(param, rk.get(param.L, gc), ct, gc,
+                                      edm)
+        edm_c = hybrid_ks.hoist_digits(param, zc.c1)
+
+    def to_eval(c):
+        return (ntt_multi(c.c0.astype(jnp.uint32), qs),
+                ntt_multi(c.c1.astype(jnp.uint32), qs))
+
+    eb, eb_c = {}, {}
+    for j in sorted(plan.need_d | plan.need_e):
+        if j == 0:
+            eb[0] = to_eval(ct)
+            if zc is not None:
+                eb_c[0] = to_eval(zc)
+            continue
+        g = galois.rotation_element(n, j)
+        hk = rk.get(param.L, g)
+        if j in plan.need_d:
+            eb[j] = to_eval(hybrid_ks.rotate_hoisted(param, hk, ct, g, edm))
+        if j in plan.need_e:
+            eb_c[j] = to_eval(
+                hybrid_ks.rotate_hoisted(param, hk, zc, g, edm_c))
+
+    qv32, nqv32, _ = (jnp.asarray(c)
+                      for c in modops32.consts(qs, ct.c0.ndim))
+    outs = []
+    param2 = ckks_rns.Param(n=param.n, L=param.L - 1, delta=param.delta,
+                            prime_bits=param.prime_bits)
+    for giants in plan.maps:
+        acc = None
+        for gi, entries in giants:
+            i0 = i1 = None
+            for idx, src, j in entries:
+                e0, e1 = (eb if src == 0 else eb_c)[j]
+                em = bfv_rns._bcast_mid(plan.em[:, idx], e0.ndim)
+                p0 = modops32.mont_mul(e0, em, qv32, nqv32)
+                p1 = modops32.mont_mul(e1, em, qv32, nqv32)
+                i0 = p0 if i0 is None else modops32.addmod(i0, p0, qv32)
+                i1 = p1 if i1 is None else modops32.addmod(i1, p1, qv32)
+            inner = type(ct)(intt_multi(i0, qs).astype(jnp.uint64),
+                             intt_multi(i1, qs).astype(jnp.uint64))
+            if gi:
+                ggi = galois.rotation_element(n, gi)
+                inner = hybrid_ks.rotate_hybrid(
+                    param, rk.get(param.L, ggi), inner, ggi)
+            acc = inner if acc is None else ckks_rns.add(param, acc, inner)
+        ct2, _ = ckks_rns.rescale(param, acc)
+        outs.append(ct2)
+    return outs, param2
+
+
+def rmap_bsgs_multi(param, rk: RotKeys, ct, maps, n1: int | None = None):
+    """build_rmap_plan + apply_rmap_plan in one shot (single-use maps).
+    Returns ([ct_m...], param')."""
+    return apply_rmap_plan(param, rk, ct, build_rmap_plan(param, maps, n1))
+
+
+def rmap_bsgs(param, rk: RotKeys, ct, A, B=None, n1: int | None = None):
+    """Single-map rmap_bsgs_multi.  Returns (ct', param')."""
+    outs, param2 = rmap_bsgs_multi(param, rk, ct, [(A, B)], n1=n1)
+    return outs[0], param2
+
+
+# ---------------------------------------------------------------------------
 # CoeffToSlot / SlotToCoeff — the linear stages of CKKS bootstrapping.
 #
 # For the device encoder, slot_j(ct) = m(zeta^{2j+1})/delta with
@@ -205,10 +390,10 @@ def _s2c_matrices(n: int):
 
 def coeff_to_slot(param, rk: RotKeys, ct):
     """-> (ct1, ct2, param'): slots(ct1) = coeffs p[0:n/2]/1, slots(ct2) =
-    p[n/2:n] (both real; one level consumed)."""
+    p[n/2:n] (both real; one level consumed).  BSGS with shared hoisted
+    babies across the two matrix halves."""
     (A1, B1), (A2, B2) = _c2s_matrices(param.n)
-    c1, p1 = linear_rmap(param, rk, ct, A1, B1)
-    c2, _ = linear_rmap(param, rk, ct, A2, B2)
+    (c1, c2), p1 = rmap_bsgs_multi(param, rk, ct, [(A1, B1), (A2, B2)])
     return c1, c2, p1
 
 
@@ -216,6 +401,6 @@ def slot_to_coeff(param, rk: RotKeys, ct1, ct2):
     """Inverse of coeff_to_slot: packs slots(ct1)|slots(ct2) back into the
     coefficient positions.  -> (ct, param')."""
     D1, D2 = _s2c_matrices(param.n)
-    c1, p1 = matvec(param, rk, ct1, D1)
-    c2, _ = matvec(param, rk, ct2, D2)
+    c1, p1 = rmap_bsgs(param, rk, ct1, D1)
+    c2, _ = rmap_bsgs(param, rk, ct2, D2)
     return ckks_rns.add(p1, c1, c2), p1

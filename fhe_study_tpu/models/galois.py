@@ -42,6 +42,52 @@ def galois_map(n: int, g: int):
     return src, neg
 
 
+def _np_ntt_ref(x, plan):
+    """Numpy mirror of ops.ntt.ntt's butterfly (host-side precompute only;
+    cross-checked by tests/test_galois.py)."""
+    q = plan.q
+    n = plan.n
+    r = x.astype(object).copy()          # python ints: exact mod-q products
+    roots = plan.roots
+    t, m = n // 2, 1
+    while m < n:
+        r = r.reshape(-1, m, 2, t)
+        u = r[:, :, 0, :]
+        s = roots[m:2 * m].astype(object)
+        v = (r[:, :, 1, :] * s[None, :, None]) % q
+        r = np.stack([(u + v) % q, (u - v) % q], axis=2)
+        t //= 2
+        m *= 2
+    return r.reshape(n)
+
+
+@lru_cache(maxsize=None)
+def _eval_exponents(n: int):
+    """e_j (odd, mod 2n) with NTT(x)[j] = x(w^{e_j}) for the library's root
+    ordering.  Prime-independent: every NttPlan uses the same bit-reversed
+    exponent schedule (ops/ntt.py:60-68); computed by discrete-logging the
+    transform of the monomial X on one small plan."""
+    from ..ops.ntt import get_plan
+    from ..ops.primes import ntt_primes
+    q = ntt_primes(1, 30, 2 * n)[0]
+    plan = get_plan(q, n)
+    x = np.zeros(n, np.uint64)
+    x[1] = 1
+    v = _np_ntt_ref(x, plan)
+    dlog = {pow(plan.root, k, q): k for k in range(2 * n)}
+    return np.array([dlog[int(vj)] for vj in v], np.int64)
+
+
+@lru_cache(maxsize=None)
+def eval_perm(n: int, g: int):
+    """pi (int32 [n]) with NTT(phi_g(x)) = NTT(x)[pi] — phi_g is a PURE
+    permutation in the evaluation domain (x(w^e) -> x(w^{g e}); the odd
+    exponents mod 2n are closed under multiplication by odd g)."""
+    e = _eval_exponents(n)
+    pos = {int(ej): j for j, ej in enumerate(e)}
+    return np.array([pos[(g * int(ej)) % (2 * n)] for ej in e], np.int32)
+
+
 def apply_galois(x, g: int, qs: tuple):
     """phi_g on residue arrays [L, ..., n] (mod q_i per limb)."""
     n = x.shape[-1]

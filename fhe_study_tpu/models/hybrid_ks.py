@@ -117,27 +117,46 @@ def _div_by_P_round(param, acc, ps: tuple):
     return mulmod_v(_submod_v(acc[:L], frac, qv), pinv, qv, mv)
 
 
-def hybrid_key_switch(param, hksk: HybridKSK, c) -> "bfv_rns.CT":
-    """(c0, 0) + round(P^{-1} * sum_i [c1]_{q_i} * KSK_i) — the low-noise
-    switch.  c may carry batch axes."""
+def hoist_digits(param, c1, K: int = 2):
+    """The rotation-independent half of a hybrid key switch: extended-basis
+    NTT-domain Montgomery digits of c1 ([L_rows, L+K, ..., n] u32).
+
+    phi_g commutes with the digit extraction (it is a ring automorphism mod
+    every basis prime, applied to the SAME small integer digit polynomials)
+    and acts on the eval domain as a pure permutation (galois.eval_perm) —
+    so ONE decomposition+NTT serves every rotation of the same ciphertext
+    (the "hoisting" trick, eprint 2018/244 §5)."""
+    qs = param.qs
+    L = param.L
+    ps = ks_ext_primes(param, K)
+    both = qs + ps
+    bv = _qvec(both, c1.ndim)
+    bmu = barrett_muv(both, c1.ndim)
+    # digits: [L_rows, L+K, ..., n]; row i = c1's limb-i residue mod each
+    # prime of the extended basis (integers < q_i -> plain reduction)
+    d = barrett_red(c1[:, None, ...], bv[None, ...], bmu[None, ...])
+    ed = ntt_multi(d.reshape((L * len(both),) + d.shape[2:])
+                   .astype(jnp.uint32), both * L).reshape(d.shape)
+    from ..ops import modops32
+    qv32, nqv32, r2v32 = (jnp.asarray(cst)[None]
+                          for cst in modops32.consts(both, c1.ndim))
+    return modops32.to_mont(ed, qv32, nqv32, r2v32)
+
+
+def ks_hoisted(param, hksk: HybridKSK, edm):
+    """Gadget contraction + INTT + P-division on hoisted digits.  Returns
+    (r0, r1), coeff-domain over Q: the switched encryption of c1*s_old
+    (add r0 to c0 to finish a key switch)."""
     qs = param.qs
     L = param.L
     K = hksk.b.shape[1] - L
     ps = ks_ext_primes(param, K)
     both = qs + ps
-    bv = _qvec(both, c.c1.ndim)
-    bmu = barrett_muv(both, c.c1.ndim)
-    # digits: [L_rows, L+K, ..., n]; row i = c1's limb-i residue mod each
-    # prime of the extended basis (integers < q_i -> plain reduction)
-    d = barrett_red(c.c1[:, None, ...], bv[None, ...], bmu[None, ...])
-    ed = ntt_multi(d.reshape((L * len(both),) + d.shape[2:])
-                   .astype(jnp.uint32), both * L).reshape(d.shape)
     from ..ops import modops32
-    qv32, nqv32, r2v32 = (jnp.asarray(cst)[None]
-                          for cst in modops32.consts(both, c.c1.ndim))
-    edm = modops32.to_mont(ed, qv32, nqv32, r2v32)
-    rb = _bcast_mid(hksk.b, ed.ndim, lead=2).astype(jnp.uint32)
-    ra = _bcast_mid(hksk.a, ed.ndim, lead=2).astype(jnp.uint32)
+    qv32, nqv32, _ = (jnp.asarray(cst)[None]
+                      for cst in modops32.consts(both, edm.ndim - 1))
+    rb = _bcast_mid(hksk.b, edm.ndim, lead=2).astype(jnp.uint32)
+    ra = _bcast_mid(hksk.a, edm.ndim, lead=2).astype(jnp.uint32)
     pb = modops32.mont_mul(rb, edm, qv32, nqv32)
     pa = modops32.mont_mul(ra, edm, qv32, nqv32)
     acc0, acc1 = pb[0], pa[0]
@@ -146,9 +165,17 @@ def hybrid_key_switch(param, hksk: HybridKSK, c) -> "bfv_rns.CT":
         acc1 = modops32.addmod(acc1, pa[i], qv32[0])
     acc0 = intt_multi(acc0, both).astype(jnp.uint64)
     acc1 = intt_multi(acc1, both).astype(jnp.uint64)
-    r0 = _div_by_P_round(param, acc0, ps)
-    r1 = _div_by_P_round(param, acc1, ps)
-    qv = _qvec(qs, r0.ndim)
+    return (_div_by_P_round(param, acc0, ps),
+            _div_by_P_round(param, acc1, ps))
+
+
+def hybrid_key_switch(param, hksk: HybridKSK, c) -> "bfv_rns.CT":
+    """(c0, 0) + round(P^{-1} * sum_i [c1]_{q_i} * KSK_i) — the low-noise
+    switch.  c may carry batch axes."""
+    K = hksk.b.shape[1] - param.L
+    edm = hoist_digits(param, c.c1, K=K)
+    r0, r1 = ks_hoisted(param, hksk, edm)
+    qv = _qvec(param.qs, r0.ndim)
     return bfv_rns.CT(_addmod_v(c.c0, r0, qv), r1)
 
 
@@ -171,3 +198,20 @@ def rotate_hybrid(param, hgk: HybridKSK, ct, g: int):
     c1 = galois.apply_galois(ct.c1, g, qs)
     out = hybrid_key_switch(param, hgk, bfv_rns.CT(c0, c1))
     return type(ct)(out.c0, out.c1)
+
+
+def rotate_hoisted(param, hgk: HybridKSK, ct, g: int, edm):
+    """rotate_hybrid against precomputed hoisted digits (hoist_digits of
+    ct.c1): the per-rotation forward NTTs collapse to one eval-domain gather.
+
+    The digit representatives differ from rotate_hybrid's (signed-permuted
+    vs canonical lifts), so ciphertext bits differ; decryptions agree with
+    the same noise bound (|digit| < q_i either way)."""
+    from . import galois
+    if g == 1:
+        return ct
+    perm = jnp.asarray(galois.eval_perm(param.n, g))
+    r0, r1 = ks_hoisted(param, hgk, jnp.take(edm, perm, axis=-1))
+    c0g = galois.apply_galois(ct.c0, g, param.qs)
+    qv = _qvec(param.qs, r0.ndim)
+    return type(ct)(_addmod_v(c0g, r0, qv), r1)

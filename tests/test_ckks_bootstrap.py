@@ -29,3 +29,33 @@ def test_ckks_bootstrap_roundtrip():
     rr, ri = C.decode(pout, C.decrypt_to_coeffs(pout, sk, out))
     got = np.asarray(rr) + 1j * np.asarray(ri)
     np.testing.assert_allclose(got, z, atol=1e-2)
+
+
+def test_ckks_bootstrap_frozen_jit():
+    """freeze() -> FrozenKeys: the whole bootstrap as ONE jitted function
+    with key material passed as a pytree argument."""
+    n, L = 32, 18
+    delta0 = 2.0 ** 24
+    param = C.Param(n=n, L=L, delta=delta0)
+    ks = prng.split(jax.random.PRNGKey(5), 3)
+    sk, pk = C.new_key(ks[0], param)
+    rng = np.random.default_rng(6)
+    z = rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)
+    ct = C.encrypt(ks[1], param, pk,
+                   C.encode(param, jnp.asarray(z.real), jnp.asarray(z.imag)))
+    ct1, _ = P.level_drop(param, ct, 1)
+    keys = B.BootstrapKeys(ks[2], param, sk)
+    out_e, pout = B.bootstrap(param, keys, ct1, delta0=delta0)  # eager warmup
+    arrays, static = B.freeze(keys)
+
+    def _step(c0, c1, arr):
+        fk = B.FrozenKeys(arr, static)
+        out, _ = B.bootstrap(param, fk, C.CT(c0, c1), delta0=delta0)
+        return out.c0, out.c1
+
+    o0, o1 = jax.jit(_step)(ct1.c0, ct1.c1, arrays)
+    rr, ri = C.decode(pout, C.decrypt_to_coeffs(pout, sk, C.CT(o0, o1)))
+    got = np.asarray(rr) + 1j * np.asarray(ri)
+    np.testing.assert_allclose(got, z, atol=1e-2)
+    # jitted and eager paths agree bit-for-bit (same keys, same graph math)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(out_e.c0))

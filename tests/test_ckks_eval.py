@@ -93,3 +93,32 @@ def test_coeff_to_slot_and_back():
     back, p2 = E.slot_to_coeff(p1, rk, c1, c2)
     got = _dec(p2, sk, back)
     np.testing.assert_allclose(got, z, atol=5e-2)
+
+
+def test_rmap_bsgs_matches_dense():
+    """BSGS (hoisted babies + pre-rotated diagonals) == dense matvec path ==
+    plaintext A z + B conj(z)."""
+    param, sk, kk, z, ct = _setup(seed=5)
+    half = param.n // 2
+    rng = np.random.default_rng(6)
+    A = rng.uniform(-1, 1, (half, half)) + 1j * rng.uniform(-1, 1, (half, half))
+    B = rng.uniform(-1, 1, (half, half)) + 1j * rng.uniform(-1, 1, (half, half))
+    rk = E.RotKeys.build(kk, param, sk, steps=range(half), conj=True)
+    got_b, p2 = E.rmap_bsgs(param, rk, ct, A, B)
+    want = A @ z + B @ z.conj()
+    np.testing.assert_allclose(_dec(p2, sk, got_b), want, atol=5e-2)
+    got_d, _ = E.linear_rmap(param, rk, ct, A, B)
+    np.testing.assert_allclose(_dec(p2, sk, got_d), want, atol=5e-2)
+
+
+def test_rmap_bsgs_multi_shares_babies():
+    """Two maps of one input through rmap_bsgs_multi both come out right."""
+    param, sk, kk, z, ct = _setup(seed=7)
+    half = param.n // 2
+    rng = np.random.default_rng(8)
+    A1 = rng.uniform(-1, 1, (half, half)) * (1 + 0.5j)
+    A2 = rng.uniform(-1, 1, (half, half)) * (0.5 - 1j)
+    rk = E.RotKeys.build(kk, param, sk, steps=range(half), conj=True)
+    (c1, c2), p2 = E.rmap_bsgs_multi(param, rk, ct, [(A1, None), (None, A2)])
+    np.testing.assert_allclose(_dec(p2, sk, c1), A1 @ z, atol=5e-2)
+    np.testing.assert_allclose(_dec(p2, sk, c2), A2 @ z.conj(), atol=5e-2)

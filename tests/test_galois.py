@@ -159,3 +159,53 @@ def test_ckks_rotation_hybrid_low_noise():
     want = np.where(conj, want.conj(), want)
     got = np.asarray(rr) + 1j * np.asarray(ri)
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_eval_perm_matches_coeff_automorphism():
+    """NTT(phi_g(x)) == NTT(x)[eval_perm] for several primes (the exponent
+    schedule — hence the permutation — is prime-independent)."""
+    n = 64
+    rng = np.random.default_rng(21)
+    for q in (ntt_mod.get_plan(12289, n).q, 65537, 1152921504606830593):
+        x = jnp.asarray(rng.integers(0, q, n).astype(np.uint64))
+        for g in (5, 2 * n - 1, pow(5, 9, 2 * n)):
+            lhs = np.asarray(ntt_mod.ntt(
+                galois.apply_galois(x[None], g, (q,))[0], q))
+            rhs = np.asarray(ntt_mod.ntt(x, q))[galois.eval_perm(n, g)]
+            np.testing.assert_array_equal(lhs, rhs)
+
+
+def test_np_ntt_ref_matches_library():
+    """The host-side butterfly mirror used to derive eval exponents stays in
+    lockstep with ops.ntt.ntt."""
+    n, q = 32, 12289
+    rng = np.random.default_rng(22)
+    x = rng.integers(0, q, n).astype(np.uint64)
+    plan = ntt_mod.get_plan(q, n)
+    got = galois._np_ntt_ref(x, plan).astype(np.uint64)
+    want = np.asarray(ntt_mod.ntt(jnp.asarray(x), q))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ckks_rotation_hoisted():
+    """rotate_hoisted == rotate_hybrid up to noise: one decomposition, many
+    rotations."""
+    from fhe_study_tpu.models import hybrid_ks as H
+    from fhe_study_tpu.models.ckks import ckks_rns as C
+    param = C.Param(n=64, L=3, delta=2.0 ** 25)
+    ks = prng.split(jax.random.PRNGKey(14), 6)
+    sk, pk = C.new_key(ks[0], param)
+    rng = np.random.default_rng(15)
+    z = rng.uniform(-10, 10, param.n // 2) + 1j * rng.uniform(-10, 10, param.n // 2)
+    c = C.encrypt(ks[1], param, pk,
+                  C.encode(param, jnp.asarray(z.real), jnp.asarray(z.imag)))
+    edm = H.hoist_digits(param, c.c1)
+    for i, k in enumerate((1, 3, 7)):
+        g = galois.rotation_element(param.n, k)
+        hgk = H.galois_key_hybrid(ks[2 + i], param, sk, g)
+        c_rot = H.rotate_hoisted(param, hgk, c, g, edm)
+        rr, ri = C.decode(param, C.decrypt_to_coeffs(param, sk, c_rot))
+        perm, conj = galois.ckks_slot_perm(param.n, g)
+        want = np.where(conj, z[perm].conj(), z[perm])
+        got = np.asarray(rr) + 1j * np.asarray(ri)
+        np.testing.assert_allclose(got, want, atol=2e-3)
