@@ -244,8 +244,20 @@ def bench_ckks_boot():
                        batch=(B,))
         ct1, _ = P.level_drop(param, ct, 1)
         keys = BB.BootstrapKeys(ks[2], param, sk)
-        # eager CPU warmup builds every rotation/relin key + diagonal plan
-        out_w, pout = BB.bootstrap(param, keys, ct1, delta0=delta0)
+        # abstract warmup: eval_shape traces the pipeline WITHOUT ciphertext
+        # compute, while the lazy key/plan builders (closed-over concrete
+        # values) still run for real — populates every cache in seconds
+        # where a full eager CPU bootstrap takes tens of minutes
+        cell = {}
+
+        def _shape_probe(c0, c1):
+            out, po = BB.bootstrap(param, keys, BB.ckks_rns.CT(c0, c1),
+                                   delta0=delta0)
+            cell["pout"] = po
+            return out.c0, out.c1
+
+        jax.eval_shape(_shape_probe, ct1.c0, ct1.c1)
+        pout = cell["pout"]
         arrays, static = BB.freeze(keys)
     dev = jax.devices()[0]
     arrays, ct1 = jax.tree.map(lambda x: jax.device_put(x, dev),
@@ -321,13 +333,28 @@ def main():
     rlk, c1, c2 = jax.tree.map(
         lambda x: jax.device_put(x, dev), (rlk, c1, c2))  # sk stays on CPU
 
+    chain = int(os.environ.get("FHE_BENCH_CHAIN", 8))
+
+    def _mul_chain(x0, x1, y0, y1, rb, ra):
+        # `chain` full multiplies per dispatch, each feeding the next
+        # (in-graph chaining amortizes the ~3 ms per-call tunnel dispatch)
+        def body(c, _):
+            o = R.mul(param, R.RLK(rb, ra), R.CT(c[0], c[1]),
+                      R.CT(y0, y1))
+            return (o.c0, o.c1), None
+        (o0, o1), _ = jax.lax.scan(body, (x0, x1), None, length=chain)
+        return o0, o1
+
     mul_jit = jax.jit(lambda x0, x1, y0, y1, rb, ra: R.mul(
         param, R.RLK(rb, ra), R.CT(x0, x1), R.CT(y0, y1)))
+    chain_jit = jax.jit(_mul_chain)
     mul = lambda x0, x1, y0, y1: mul_jit(x0, x1, y0, y1, rlk.b, rlk.a)  # noqa: E731
     probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
     args = (c1.c0, c1.c1, c2.c0, c2.c1)
     out = mul(*args)                      # compile + warmup
     float(probe(out[0]))                  # force materialization
+    w = chain_jit(*args, rlk.b, rlk.a)    # compile the chained step
+    float(probe(w[0]))
 
     # timing: CHAIN the output into the next multiply (every iteration sees
     # new values — no cache layer can satisfy it) and force a readback
@@ -336,7 +363,7 @@ def main():
     t0 = time.perf_counter()
     cur = (c1.c0, c1.c1)
     for _ in range(iters):
-        timed = mul(cur[0], cur[1], c2.c0, c2.c1)
+        timed = chain_jit(cur[0], cur[1], c2.c0, c2.c1, rlk.b, rlk.a)
         cur = (timed[0], timed[1])       # noise grows — timing only
     float(probe(timed[0]))
     dt = time.perf_counter() - t0
@@ -354,7 +381,7 @@ def main():
             ntt_mod.polymul_i64_crt(m1.astype(jnp.int64), m2.astype(jnp.int64)), t)
     ok = bool((np.asarray(rec) == np.asarray(want)).all())
 
-    value = B * iters / dt
+    value = B * chain * iters / dt
     print(json.dumps({
         "metric": f"bfv_rns_ctmul_n{n}_L{L}_per_sec_per_chip"
                   + ("" if ok else "_DECRYPT_FAIL"),

@@ -344,22 +344,26 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     # emulates u64 lanes in 32-bit pairs on TPU (~10x cost), and the Pallas/
     # MXU transforms preserve the u32 dtype end-to-end.
     from ..ops import modops32
-    # all four operands extended AND transformed in ONE batched pass
-    # (fewer kernel launches, bigger tiles): [L, 4, B.., n]
+    # all four operands extended AND transformed in batched passes
+    # ([L, 4, B.., n]); the Q and P limb groups stay SPLIT end-to-end —
+    # a fused [L+M, ...] layout would cost two full-array concat copies
+    # (~1.2 GB of pure HBM traffic per mul at N=2^14, B=64)
     four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=1).astype(jnp.uint32)
-    ext4 = jnp.concatenate([four, fast_base_extend(four, qs, ps)], axis=0)
-    e4 = ntt_multi(ext4, both)
-    ex0, ex1, ey0, ey1 = (e4[:, i] for i in range(4))
-    qv32, nqv32, r2v32 = (jnp.asarray(c)
-                          for c in modops32.consts(both, x.c0.ndim))
-    ey0m = modops32.to_mont(ey0, qv32, nqv32, r2v32)
-    ey1m = modops32.to_mont(ey1, qv32, nqv32, r2v32)
-    prods = jnp.stack([
-        modops32.mont_mul(ex0, ey0m, qv32, nqv32),
-        modops32.addmod(modops32.mont_mul(ex0, ey1m, qv32, nqv32),
-                        modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32),
-        modops32.mont_mul(ex1, ey1m, qv32, nqv32)], axis=1)
-    dall = intt_multi(prods, both)      # one inverse launch for d0,d1,d2
+    parts = (ntt_multi(four, qs), ntt_multi(fast_base_extend(four, qs, ps),
+                                            ps))
+    dall_parts = []
+    for e4, pr in zip(parts, (qs, ps)):
+        ex0, ex1, ey0, ey1 = (e4[:, i] for i in range(4))
+        qv32, nqv32, r2v32 = (jnp.asarray(c)
+                              for c in modops32.consts(pr, x.c0.ndim))
+        ey0m = modops32.to_mont(ey0, qv32, nqv32, r2v32)
+        ey1m = modops32.to_mont(ey1, qv32, nqv32, r2v32)
+        prods = jnp.stack([
+            modops32.mont_mul(ex0, ey0m, qv32, nqv32),
+            modops32.addmod(modops32.mont_mul(ex0, ey1m, qv32, nqv32),
+                            modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32),
+            modops32.mont_mul(ex1, ey1m, qv32, nqv32)], axis=1)
+        dall_parts.append(intt_multi(prods, pr))
     # 2. r = floor(t·v/Q): [w]_Q is the UNSIGNED remainder (w − [w]_Q =
     # Q·floor(w/Q), exact for signed w too) -> extend with the [0,Q)
     # interpretation; r is signed & small -> centered extension back to Q.
@@ -370,13 +374,13 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     tpm = jnp.asarray(np.array([mont(param.t, p) for p in ps], np.uint32))
     qinvm = jnp.asarray(np.array([mont(pow(Q, -1, p), p) for p in ps],
                                  np.uint32))
-    nd = dall.ndim
+    nd = dall_parts[0].ndim
     qv32q, nq32q, _ = (jnp.asarray(c) for c in modops32.consts(qs, nd))
     pv32, nq32p, _ = (jnp.asarray(c) for c in modops32.consts(ps, nd))
     # the whole scaling pipeline batched over (d0, d1, d2) at once
-    w_q = modops32.mont_mul(dall[: param.L], tqm.reshape(qv32q.shape),
+    w_q = modops32.mont_mul(dall_parts[0], tqm.reshape(qv32q.shape),
                             qv32q, nq32q)
-    w_p = modops32.mont_mul(dall[param.L:], tpm.reshape(pv32.shape),
+    w_p = modops32.mont_mul(dall_parts[1], tpm.reshape(pv32.shape),
                             pv32, nq32p)
     wq_in_p = fast_base_extend(w_q, qs, ps)
     r_p = modops32.mont_mul(modops32.submod(w_p, wq_in_p, pv32),

@@ -68,9 +68,12 @@ class _LazyRlk(dict):
     def __missing__(self, L):
         pL = ckks_rns.Param(n=self.bk.param.n, L=L, delta=self.bk.param.delta,
                             prime_bits=self.bk.param.prime_bits)
-        k = jax.random.fold_in(self.bk.key, 100000 + L)
-        self[L] = ckks_rns.hybrid_rlk(k, pL,
-                                      ckks_rns.SecretKey(self.bk.sk.s_evals[:L]))
+        # compile-time eval: key material must come out CONCRETE even when
+        # the cache miss fires inside a trace (eval_shape/jit warmups)
+        with jax.ensure_compile_time_eval():
+            k = jax.random.fold_in(self.bk.key, 100000 + L)
+            self[L] = ckks_rns.hybrid_rlk(
+                k, pL, ckks_rns.SecretKey(self.bk.sk.s_evals[:L]))
         return self[L]
 
 
@@ -84,9 +87,10 @@ class _LazyRot(ev.RotKeys):
             pL = ckks_rns.Param(n=self.bk.param.n, L=L,
                                 delta=self.bk.param.delta,
                                 prime_bits=self.bk.param.prime_bits)
-            k = jax.random.fold_in(self.bk.key, 200000 + L * 8192 + g)
-            self.keys[(L, g)] = hybrid_ks.galois_key_hybrid(
-                k, pL, ckks_rns.SecretKey(self.bk.sk.s_evals[:L]), g)
+            with jax.ensure_compile_time_eval():   # concrete even mid-trace
+                k = jax.random.fold_in(self.bk.key, 200000 + L * 8192 + g)
+                self.keys[(L, g)] = hybrid_ks.galois_key_hybrid(
+                    k, pL, ckks_rns.SecretKey(self.bk.sk.s_evals[:L]), g)
         return self.keys[(L, g)]
 
 
@@ -104,6 +108,11 @@ def freeze(keys: BootstrapKeys):
     }
     static = {k: (p.n1, frozenset(p.need_d), frozenset(p.need_e), p.maps)
               for k, p in keys._plans.items()}
+    bad = [x for x in jax.tree.leaves(arrays) if isinstance(x, jax.core.Tracer)]
+    assert not bad, ("tracer leaked into bootstrap key caches — build keys "
+                     "outside a trace (the lazy builders use "
+                     "ensure_compile_time_eval; a tracer here means a "
+                     "ciphertext-dependent value was cached)")
     return arrays, static
 
 

@@ -115,8 +115,10 @@ def mul_pt(param: Param, x: CT, m_res) -> CT:
     qs = param.qs
     qv32, nqv32, r2v32 = (jnp.asarray(c_)
                           for c_ in modops32.consts(qs, x.c0.ndim))
-    em = modops32.to_mont(ntt_multi(jnp.asarray(m_res).astype(jnp.uint32),
-                                    qs), qv32, nqv32, r2v32)
+    from .. import bfv_rns
+    m32 = bfv_rns._bcast_mid(jnp.asarray(m_res).astype(jnp.uint32),
+                             x.c0.ndim)      # [L, n] pt vs batched ct
+    em = modops32.to_mont(ntt_multi(m32, qs), qv32, nqv32, r2v32)
     c0 = intt_multi(modops32.mont_mul(
         ntt_multi(x.c0.astype(jnp.uint32), qs), em, qv32, nqv32), qs)
     c1 = intt_multi(modops32.mont_mul(

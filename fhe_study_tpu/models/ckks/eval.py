@@ -224,6 +224,13 @@ class RmapPlan:
 
 
 def build_rmap_plan(param, maps, n1: int | None = None) -> RmapPlan:
+    # plans are reusable key-like material: force CONCRETE construction
+    # even when the builder fires inside a trace (eval_shape/jit warmups)
+    with jax.ensure_compile_time_eval():
+        return _build_rmap_plan(param, maps, n1)
+
+
+def _build_rmap_plan(param, maps, n1):
     from .. import bfv_rns as _bfv
     from ...ops import modops32
     n = param.n

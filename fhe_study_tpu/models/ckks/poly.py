@@ -68,11 +68,13 @@ def _encode_const(param, c, scale: float):
 
 
 def add_pt_const(param, ct, c):
-    """ct + constant (encoded at the ciphertext's live scale)."""
+    """ct + constant (encoded at the ciphertext's live scale); ct may carry
+    batch axes (the [L, n] plaintext broadcasts through the middle)."""
     m = _encode_const(param, c, param.delta)
-    from ..bfv_rns import _qvec, _addmod_v
+    from ..bfv_rns import _qvec, _addmod_v, _bcast_mid
     qv = _qvec(param.qs, ct.c0.ndim)
-    return ckks_rns.CT(_addmod_v(ct.c0, m.astype(U64), qv), ct.c1)
+    m = _bcast_mid(m.astype(U64), ct.c0.ndim)
+    return ckks_rns.CT(_addmod_v(ct.c0, m, qv), ct.c1)
 
 
 def powers(rlks: dict, ct, param, ks: set) -> dict:

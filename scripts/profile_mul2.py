@@ -40,18 +40,29 @@ def timeit(f, x, iters=6):
     float(probe(y))
     return (time.perf_counter() - t0) / iters
 
+# NB every case below must be SHAPE- AND DTYPE-STABLE under chaining
+# (f(f(x)) traces once): a mid-loop retrace costs a ~12 s remote compile
+# inside the timing window and poisons the average.
 x9 = jnp.concatenate([c1.c0, c1.c0, c1.c0[:1]], 0).astype(jnp.uint32)  # [9,B,n]
 x94 = jnp.stack([x9, x9, x9, x9], 1)                                   # [9,4,B,n]
+xL64 = c1.c0                                                           # [L,B,n] u64
 null = timeit(jax.jit(lambda a: a + jnp.uint32(1)), x9)
 print(f"null {null*1e3:.3f}", flush=True)
+
+
+def _chain_ext(a):
+    out = R.fast_base_extend(a[:L], qs, ps)            # [M,4,B,n]
+    return jnp.concatenate([out[:L].astype(a.dtype), a[L:]], 0)
+
+
 cases = {
   "fwd ntt [9,4,B,n]": (jax.jit(lambda a: ntt_multi(a, both)), x94),
-  "inv ntt [9,3,B,n]": (jax.jit(lambda a: intt_multi(a[:, :3], both)), x94),
-  "base_extend 4->5 [L,4,B,n]": (jax.jit(
-      lambda a: R.fast_base_extend(a[:L], qs, ps)), x94),
-  "mul full": (jax.jit(lambda a: R.mul(param, rlk, R.CT(a.astype(jnp.uint64), a.astype(jnp.uint64)), c1)[0]), x9[:L]),
-  "relinearize": (jax.jit(lambda a: R.relinearize(
-      param, rlk, a.astype(jnp.uint64), a.astype(jnp.uint64), a.astype(jnp.uint64))[0]), x9[:L]),
+  "inv ntt [9,4,B,n]": (jax.jit(lambda a: intt_multi(a, both)), x94),
+  "base_extend 4->5 [L,4,B,n]": (jax.jit(_chain_ext), x94),
+  "mul full": (jax.jit(
+      lambda a: R.mul(param, rlk, R.CT(a, a), c1).c0), xL64),
+  "relinearize": (jax.jit(
+      lambda a: R.relinearize(param, rlk, a, a, a).c0), xL64),
 }
 for name, (f, x) in cases.items():
     try:
