@@ -349,39 +349,38 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     # a fused [L+M, ...] layout would cost two full-array concat copies
     # (~1.2 GB of pure HBM traffic per mul at N=2^14, B=64)
     four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=1).astype(jnp.uint32)
-    parts = (ntt_multi(four, qs), ntt_multi(fast_base_extend(four, qs, ps),
-                                            ps))
+    # forward transforms lift straight into the Montgomery domain (kernel
+    # epilogue), products of two lifted operands stay lifted (x y R), and
+    # the inverse transform folds t * R^-1 into its final n^-1 multiply —
+    # so dall_parts comes out as w = t*v directly, with the to_mont and
+    # w-scaling HBM passes gone entirely.
+    parts = (ntt_multi(four, qs, mont=True),
+             ntt_multi(fast_base_extend(four, qs, ps), ps, mont=True))
+    rinv = lambda q: pow(1 << 32, -1, q)  # noqa: E731
     dall_parts = []
     for e4, pr in zip(parts, (qs, ps)):
         ex0, ex1, ey0, ey1 = (e4[:, i] for i in range(4))
-        qv32, nqv32, r2v32 = (jnp.asarray(c)
-                              for c in modops32.consts(pr, x.c0.ndim))
-        ey0m = modops32.to_mont(ey0, qv32, nqv32, r2v32)
-        ey1m = modops32.to_mont(ey1, qv32, nqv32, r2v32)
+        qv32, nqv32, _ = (jnp.asarray(c)
+                          for c in modops32.consts(pr, x.c0.ndim))
         prods = jnp.stack([
-            modops32.mont_mul(ex0, ey0m, qv32, nqv32),
-            modops32.addmod(modops32.mont_mul(ex0, ey1m, qv32, nqv32),
-                            modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32),
-            modops32.mont_mul(ex1, ey1m, qv32, nqv32)], axis=1)
-        dall_parts.append(intt_multi(prods, pr))
+            modops32.mont_mul(ex0, ey0, qv32, nqv32),
+            modops32.addmod(modops32.mont_mul(ex0, ey1, qv32, nqv32),
+                            modops32.mont_mul(ex1, ey0, qv32, nqv32), qv32),
+            modops32.mont_mul(ex1, ey1, qv32, nqv32)], axis=1)
+        dall_parts.append(intt_multi(
+            prods, pr, scale=tuple(param.t * rinv(q) % q for q in pr)))
     # 2. r = floor(t·v/Q): [w]_Q is the UNSIGNED remainder (w − [w]_Q =
     # Q·floor(w/Q), exact for signed w too) -> extend with the [0,Q)
     # interpretation; r is signed & small -> centered extension back to Q.
     # All in u32 Montgomery (constants pre-lifted host-side).
     Q = _basis(qs).prod
     mont = lambda v, q: (int(v % q) << 32) % q  # noqa: E731
-    tqm = jnp.asarray(np.array([mont(param.t, q) for q in qs], np.uint32))
-    tpm = jnp.asarray(np.array([mont(param.t, p) for p in ps], np.uint32))
     qinvm = jnp.asarray(np.array([mont(pow(Q, -1, p), p) for p in ps],
                                  np.uint32))
     nd = dall_parts[0].ndim
-    qv32q, nq32q, _ = (jnp.asarray(c) for c in modops32.consts(qs, nd))
     pv32, nq32p, _ = (jnp.asarray(c) for c in modops32.consts(ps, nd))
-    # the whole scaling pipeline batched over (d0, d1, d2) at once
-    w_q = modops32.mont_mul(dall_parts[0], tqm.reshape(qv32q.shape),
-                            qv32q, nq32q)
-    w_p = modops32.mont_mul(dall_parts[1], tpm.reshape(pv32.shape),
-                            pv32, nq32p)
+    # w = t*v came out of the INTTs directly (scale folding above)
+    w_q, w_p = dall_parts
     wq_in_p = fast_base_extend(w_q, qs, ps)
     r_p = modops32.mont_mul(modops32.submod(w_p, wq_in_p, pv32),
                             qinvm.reshape(pv32.shape), pv32, nq32p)
@@ -413,15 +412,14 @@ def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     for _ in range(reps):
         d = jnp.where(d >= qrow, d - qrow, d)
     # one transform launch for the whole (rows × primes) digit grid; the
-    # contraction runs in u32 Montgomery (digits lifted ONCE, reused for
-    # both the b and a accumulations)
-    ed = ntt_multi(d.reshape((L * L,) + d.shape[2:]),
-                   qs * L).reshape(d.shape)
-    qv32, nqv32, r2v32 = (jnp.asarray(c)[None]
-                          for c in modops32.consts(qs, c0.ndim))
-    edm = modops32.to_mont(ed, qv32, nqv32, r2v32)
-    rb = _bcast_mid(rlk.b, ed.ndim, lead=2).astype(jnp.uint32)
-    ra = _bcast_mid(rlk.a, ed.ndim, lead=2).astype(jnp.uint32)
+    # forward kernel lifts the digits into the Montgomery domain in its
+    # epilogue (reused for both the b and a accumulations)
+    edm = ntt_multi(d.reshape((L * L,) + d.shape[2:]),
+                    qs * L, mont=True).reshape(d.shape)
+    qv32, nqv32, _ = (jnp.asarray(c)[None]
+                      for c in modops32.consts(qs, c0.ndim))
+    rb = _bcast_mid(rlk.b, edm.ndim, lead=2).astype(jnp.uint32)
+    ra = _bcast_mid(rlk.a, edm.ndim, lead=2).astype(jnp.uint32)
     pb = modops32.mont_mul(rb, edm, qv32, nqv32)
     pa = modops32.mont_mul(ra, edm, qv32, nqv32)
     acc0, acc1 = pb[0], pa[0]

@@ -260,7 +260,8 @@ def _build_rmap_plan(param, maps, n1):
             if entries:
                 giants.append((gi, entries))
         plan_maps.append(giants)
-    V = np.stack(vecs)                                   # [num, half]
+    vecs.append(np.zeros(half, np.complex128))   # pad row: index `num` is 0
+    V = np.stack(vecs)                                   # [num+1, half]
     m = encoder_device.encode(jnp.asarray(V.real), jnp.asarray(V.imag),
                               n, scale_pt)               # [num, n] i64
     res = _bfv._to_residues(m, param.qs)                 # [L, num, n]
@@ -274,63 +275,122 @@ def _build_rmap_plan(param, maps, n1):
 def apply_rmap_plan(param, rk: RotKeys, ct, plan: RmapPlan):
     """Execute a plan: (n1-1) hoisted baby rotations of z (+ of z_c if any
     map has an antilinear part) shared across all maps; per (map, giant
-    block) one eval-domain pointwise contraction + one full rotation.  One
-    rescale each; one level consumed.  Returns ([ct_m...], param')."""
+    block) one eval-domain pointwise contraction + one full rotation.
+
+    The per-giant work runs as ONE lax.scan over stacked diagonal/galois/key
+    tables, so compiled size is O(#babies + 1) — NOT O(#diagonals): dense
+    C2S/S2C maps at production n would otherwise unroll to 100k+ HLO ops.
+    One rescale per map; one level consumed.  Returns ([ct_m...], param')."""
     from .. import hybrid_ks
     from ...ops import modops32
     n = param.n
     qs = param.qs
+    L = param.L
     edm = hybrid_ks.hoist_digits(param, ct.c1)
     zc = None
     if plan.need_e:
         gc = galois.conj_element(n)
-        zc = hybrid_ks.rotate_hoisted(param, rk.get(param.L, gc), ct, gc,
-                                      edm)
+        zc = hybrid_ks.rotate_hoisted(param, rk.get(L, gc), ct, gc, edm)
         edm_c = hybrid_ks.hoist_digits(param, zc.c1)
 
     def to_eval(c):
         return (ntt_multi(c.c0.astype(jnp.uint32), qs),
                 ntt_multi(c.c1.astype(jnp.uint32), qs))
 
-    eb, eb_c = {}, {}
-    for j in sorted(plan.need_d | plan.need_e):
-        if j == 0:
-            eb[0] = to_eval(ct)
-            if zc is not None:
-                eb_c[0] = to_eval(zc)
-            continue
-        g = galois.rotation_element(n, j)
-        hk = rk.get(param.L, g)
-        if j in plan.need_d:
-            eb[j] = to_eval(hybrid_ks.rotate_hoisted(param, hk, ct, g, edm))
-        if j in plan.need_e:
-            eb_c[j] = to_eval(
-                hybrid_ks.rotate_hoisted(param, hk, zc, g, edm_c))
+    # hoisted babies -> stacked eval operands [L, nb_all, B.., n]
+    # (slot order: need_d babies then need_e babies)
+    babies_d = sorted(plan.need_d)
+    babies_e = sorted(plan.need_e)
+    slot_of = {(0, j): i for i, j in enumerate(babies_d)}
+    slot_of.update({(1, j): len(babies_d) + i
+                    for i, j in enumerate(babies_e)})
+    parts0, parts1 = [], []
+    for src, babies in ((0, babies_d), (1, babies_e)):
+        base, ed = (ct, edm) if src == 0 else (zc, edm_c)
+        for j in babies:
+            if j == 0:
+                e0, e1 = to_eval(base)
+            else:
+                g = galois.rotation_element(n, j)
+                e0, e1 = to_eval(hybrid_ks.rotate_hoisted(
+                    param, rk.get(L, g), base, g, ed))
+            parts0.append(e0)
+            parts1.append(e1)
+    EB0 = jnp.stack(parts0, axis=1)      # [L, nb_all, B.., n]
+    EB1 = jnp.stack(parts1, axis=1)
 
-    qv32, nqv32, _ = (jnp.asarray(c)
-                      for c in modops32.consts(qs, ct.c0.ndim))
+    nbatch = ct.c0.ndim - 2
+    qv32e, nqv32e, _ = (jnp.asarray(c)
+                        for c in modops32.consts(qs, EB0.ndim))
+    qv = bfv_rns._qvec(qs, ct.c0.ndim)
+    pad_idx = plan.em.shape[1] - 1       # the all-zero diagonal row
+
+    def inner_ct(em_idx, slot_idx):
+        """[Emax] index tables -> contracted inner ct (u64 coeff domain)."""
+        em_g = jnp.take(plan.em, em_idx, axis=1)      # [L, Emax, n]
+        em_g = em_g.reshape(em_g.shape[:2] + (1,) * nbatch + (n,))
+        p0 = modops32.mont_mul(jnp.take(EB0, slot_idx, axis=1), em_g,
+                               qv32e, nqv32e)
+        p1 = modops32.mont_mul(jnp.take(EB1, slot_idx, axis=1), em_g,
+                               qv32e, nqv32e)
+        while p0.shape[1] > 1:           # exact tree addmod over entries
+            p0 = modops32.addmod(p0[:, 0::2], p0[:, 1::2], qv32e)
+            p1 = modops32.addmod(p1[:, 0::2], p1[:, 1::2], qv32e)
+        return (intt_multi(p0[:, 0], qs).astype(jnp.uint64),
+                intt_multi(p1[:, 0], qs).astype(jnp.uint64))
+
     outs = []
-    param2 = ckks_rns.Param(n=param.n, L=param.L - 1, delta=param.delta,
+    param2 = ckks_rns.Param(n=param.n, L=L - 1, delta=param.delta,
                             prime_bits=param.prime_bits)
     for giants in plan.maps:
-        acc = None
-        for gi, entries in giants:
-            i0 = i1 = None
-            for idx, src, j in entries:
-                e0, e1 = (eb if src == 0 else eb_c)[j]
-                em = bfv_rns._bcast_mid(plan.em[:, idx], e0.ndim)
-                p0 = modops32.mont_mul(e0, em, qv32, nqv32)
-                p1 = modops32.mont_mul(e1, em, qv32, nqv32)
-                i0 = p0 if i0 is None else modops32.addmod(i0, p0, qv32)
-                i1 = p1 if i1 is None else modops32.addmod(i1, p1, qv32)
-            inner = type(ct)(intt_multi(i0, qs).astype(jnp.uint64),
-                             intt_multi(i1, qs).astype(jnp.uint64))
-            if gi:
+        zero_blocks = [e for gi, e in giants if gi == 0]
+        rot_blocks = [(gi, e) for gi, e in giants if gi != 0]
+        emax = max(len(e) for _, e in giants)
+        emax = 1 << (emax - 1).bit_length()           # pow2 for the tree
+
+        def tables(entries):
+            ei = np.full(emax, pad_idx, np.int32)
+            sl = np.zeros(emax, np.int32)
+            for t, (idx, src, j) in enumerate(entries):
+                ei[t] = idx
+                sl[t] = slot_of[(src, j)]
+            return ei, sl
+
+        if zero_blocks:
+            ei, sl = tables(zero_blocks[0])
+            a0, a1 = inner_ct(jnp.asarray(ei), jnp.asarray(sl))
+        else:
+            a0, a1 = jnp.zeros_like(ct.c0), jnp.zeros_like(ct.c1)
+        if rot_blocks:
+            ei_r, sl_r, srcs, negs, kbs, kas = [], [], [], [], [], []
+            for gi, entries in rot_blocks:
                 ggi = galois.rotation_element(n, gi)
-                inner = hybrid_ks.rotate_hybrid(
-                    param, rk.get(param.L, ggi), inner, ggi)
-            acc = inner if acc is None else ckks_rns.add(param, acc, inner)
-        ct2, _ = ckks_rns.rescale(param, acc)
+                ei, sl = tables(entries)
+                ei_r.append(ei)
+                sl_r.append(sl)
+                src_t, neg_t = galois.galois_map(n, ggi)
+                srcs.append(np.asarray(src_t, np.int32))
+                negs.append(np.asarray(neg_t))
+                hk = rk.get(L, ggi)
+                kbs.append(hk.b)
+                kas.append(hk.a)
+            xs = (jnp.asarray(np.stack(ei_r)), jnp.asarray(np.stack(sl_r)),
+                  jnp.asarray(np.stack(srcs)), jnp.asarray(np.stack(negs)),
+                  jnp.stack(kbs), jnp.stack(kas))
+
+            def body(carry, x):
+                ei, sl, src_t, neg_t, kb, ka = x
+                c0, c1 = inner_ct(ei, sl)
+                c0 = galois.apply_galois_tab(c0, src_t, neg_t, qs)
+                c1 = galois.apply_galois_tab(c1, src_t, neg_t, qs)
+                sw = hybrid_ks.hybrid_key_switch(
+                    param, hybrid_ks.HybridKSK(b=kb, a=ka),
+                    bfv_rns.CT(c0, c1))
+                return (bfv_rns._addmod_v(carry[0], sw.c0, qv),
+                        bfv_rns._addmod_v(carry[1], sw.c1, qv)), None
+
+            (a0, a1), _ = jax.lax.scan(body, (a0, a1), xs)
+        ct2, _ = ckks_rns.rescale(param, type(ct)(a0, a1))
         outs.append(ct2)
     return outs, param2
 

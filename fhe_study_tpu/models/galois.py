@@ -98,6 +98,15 @@ def apply_galois(x, g: int, qs: tuple):
     return jnp.where(negm, jnp.where(y == 0, y, qv - y), y)
 
 
+def apply_galois_tab(x, src, neg, qs: tuple):
+    """phi on residue arrays [L, ..., n] with table OPERANDS (src [n] i32,
+    neg [n] bool) instead of a static g — the lax.scan-body variant of
+    apply_galois (per-step tables ride the scan xs)."""
+    qv = _qvec(qs, x.ndim)
+    y = jnp.take(x, src, axis=-1)
+    return jnp.where(neg, jnp.where(y == 0, y, qv - y), y)
+
+
 def apply_galois_i64(x, g: int):
     """phi_g on signed integer coefficient arrays [..., n] (plaintext side)."""
     n = x.shape[-1]

@@ -135,12 +135,11 @@ def hoist_digits(param, c1, K: int = 2):
     # digits: [L_rows, L+K, ..., n]; row i = c1's limb-i residue mod each
     # prime of the extended basis (integers < q_i -> plain reduction)
     d = barrett_red(c1[:, None, ...], bv[None, ...], bmu[None, ...])
-    ed = ntt_multi(d.reshape((L * len(both),) + d.shape[2:])
-                   .astype(jnp.uint32), both * L).reshape(d.shape)
-    from ..ops import modops32
-    qv32, nqv32, r2v32 = (jnp.asarray(cst)[None]
-                          for cst in modops32.consts(both, c1.ndim))
-    return modops32.to_mont(ed, qv32, nqv32, r2v32)
+    # the forward kernel's epilogue lifts into the Montgomery domain —
+    # no separate to_mont pass over the [L, L+K, ..., n] digit grid
+    return ntt_multi(d.reshape((L * len(both),) + d.shape[2:])
+                     .astype(jnp.uint32), both * L, mont=True
+                     ).reshape(d.shape)
 
 
 def ks_hoisted(param, hksk: HybridKSK, edm):

@@ -234,22 +234,35 @@ def _multi_tables(qs: tuple, n: int):
     return roots, roots_inv, n_inv
 
 
-def ntt_multi(a, qs: tuple):
+def ntt_multi(a, qs: tuple, mont: bool = False):
     """Forward negacyclic NTT per-prime: a [L, ..., n] -> same, prime i mod
-    qs[i].  One stage chain for all primes."""
+    qs[i].  One stage chain for all primes.
+
+    mont=True lifts the output into the Montgomery domain (x R mod q,
+    R = 2^32) inside the kernel epilogue — replaces a modops32.to_mont
+    pass (a full HBM round trip) with one in-VMEM multiply."""
     n = a.shape[-1]
     L = a.shape[0]
     assert L == len(qs)
     if n == 1:
+        assert not mont
         return a
-    if _mxu_ok(qs, n):
+    if _mxu_ok(qs, n) and not mont:
         from . import ntt_mxu
         return ntt_mxu.ntt_multi_mxu(a, qs)
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
-        return ntt_pallas.ntt_multi_u32(a, qs)
+        fin = tuple((1 << 32) % q for q in qs) if mont else None
+        return ntt_pallas.ntt_multi_u32(a, qs, fin=fin)
     if a.dtype == jnp.uint32:   # XLA path computes in u64 (products 2^60)
-        return ntt_multi(a.astype(U64), qs).astype(jnp.uint32)
+        return ntt_multi(a.astype(U64), qs, mont=mont).astype(jnp.uint32)
+    if mont:
+        r = ntt_multi(a, qs)
+        rv = jnp.asarray(np.array([(1 << 32) % q for q in qs], np.uint64)
+                         ).reshape((L,) + (1,) * (a.ndim - 1))
+        return mulmod_v(r, rv, _qvec(qs, a.ndim),
+                        barrett_muv(qs, a.ndim)
+                        if max(qs) < (1 << 31) else None)
     roots, _, _ = _multi_tables(qs, n)
     qv = _qvec(qs, a.ndim + 1)            # broadcast over [L, batch..., m, t]
     muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None
@@ -268,20 +281,31 @@ def ntt_multi(a, qs: tuple):
     return r.reshape((L,) + batch + (n,))
 
 
-def intt_multi(a, qs: tuple):
+def intt_multi(a, qs: tuple, scale: tuple | None = None):
+    """Inverse negacyclic NTT per-prime.  scale: optional per-prime extra
+    factor folded into the final n^-1 multiply (one in-VMEM multiply —
+    free): callers use it for the t/Q scaling constant t and/or the
+    Montgomery de-lift R^-1 after Montgomery-domain pointwise products."""
     n = a.shape[-1]
     L = a.shape[0]
     if n == 1:
+        assert scale is None
         return a
-    if _mxu_ok(qs, n):
+    if _mxu_ok(qs, n) and scale is None:
         from . import ntt_mxu
         return ntt_mxu.intt_multi_mxu(a, qs)
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
-        return ntt_pallas.ntt_multi_u32(a, qs, inverse=True)
+        fin = (tuple((pow(n, q - 2, q) * int(s)) % q
+                     for q, s in zip(qs, scale))
+               if scale is not None else None)
+        return ntt_pallas.ntt_multi_u32(a, qs, inverse=True, fin=fin)
     if a.dtype == jnp.uint32:
-        return intt_multi(a.astype(U64), qs).astype(jnp.uint32)
+        return intt_multi(a.astype(U64), qs, scale=scale).astype(jnp.uint32)
     _, roots_inv, n_inv = _multi_tables(qs, n)
+    if scale is not None:
+        n_inv = np.array([(int(v) * int(s)) % q
+                          for v, s, q in zip(n_inv, scale, qs)], np.uint64)
     qv = _qvec(qs, a.ndim + 1)
     muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None
     batch = a.shape[1:-1]

@@ -250,11 +250,12 @@ def _build_call(q: int, n: int, inverse: bool, block_b: int, interpret: bool):
 # grid (prime, batch-block), per-prime (q, nqinv, n_inv) via scalar prefetch.
 # ---------------------------------------------------------------------------
 
-def _ntt_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, inverse):
+def _ntt_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, inverse,
+                      final):
     q = consts_ref[0, pl.program_id(0)]
-    n_inv = consts_ref[1, pl.program_id(0)]
-    n_inv_sh = consts_ref[2, pl.program_id(0)]
-    rows = n // LANES
+    fin = consts_ref[1, pl.program_id(0)]     # final multiplier (n_inv for a
+    fin_sh = consts_ref[2, pl.program_id(0)]  # plain INTT; may fold t, R,
+    rows = n // LANES                         # R^-1 — see ntt_multi_u32)
     x = x_ref[...].reshape(x_ref.shape[1], rows, LANES)
     logn = n.bit_length() - 1
     for s in range(logn):
@@ -270,9 +271,9 @@ def _ntt_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, inverse):
             diff = _submod_dyn(y, x, q)
             x = jnp.where(first, _addmod_dyn(x, y, q),
                           _shoup_mul(diff, tw, twp, q))
-    if inverse:
-        x = _shoup_mul(x, jnp.full_like(x, 1) * n_inv,
-                       jnp.full_like(x, 1) * n_inv_sh, q)
+    if final:
+        x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
+                       jnp.full_like(x, 1) * fin_sh, q)
     o_ref[...] = x.reshape(x_ref.shape)
 
 
@@ -295,22 +296,31 @@ def _submod_dyn(a, b, q):
 
 
 @lru_cache(maxsize=None)
-def _multi_consts(qs: tuple, n: int):
+def _multi_consts(qs: tuple, n: int, fin: tuple | None = None):
+    """fin: per-prime FINAL multiplier overriding the default (n_inv for
+    the inverse, nothing for the forward) — lets callers fold a Montgomery
+    lift (R), a de-lift (R^-1), or a plaintext scale (t) into the kernel's
+    last in-VMEM multiply instead of paying a full HBM pass."""
     cons = np.zeros((3, len(qs)), np.uint32)
     fwd_all, inv_all = [], []
     for i, q in enumerate(qs):
         fwd, inv, ninv_pair = _stage_tables(q, n)
+        f = int(ninv_pair[0]) if fin is None else int(fin[i]) % q
         cons[0, i] = q
-        cons[1, i] = ninv_pair[0]
-        cons[2, i] = ninv_pair[1]
+        cons[1, i] = f
+        cons[2, i] = (f << 32) // q
         fwd_all.append(fwd)
         inv_all.append(inv)
     return cons, np.stack(fwd_all), np.stack(inv_all)   # tw: [L, 2, logn, n]
 
 
 def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
-                  interpret: bool | None = None):
-    """[L, ..., n] per-prime transform in a single kernel launch."""
+                  interpret: bool | None = None, fin: tuple | None = None):
+    """[L, ..., n] per-prime transform in a single kernel launch.
+
+    fin: optional per-prime final multiplier applied in-VMEM after the
+    butterfly stages.  Forward default: none.  Inverse default: n^-1 —
+    an explicit fin REPLACES it (callers fold n^-1 * extra in themselves)."""
     L = x.shape[0]
     n = x.shape[-1]
     assert L == len(qs) and n >= LANES and n % LANES == 0
@@ -323,10 +333,11 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
         block_b -= 1
     if interpret is None:
         interpret = not _on_tpu()
-    cons, fwd, inv = _multi_consts(qs, n)
+    cons, fwd, inv = _multi_consts(qs, n, fin)
     tw = inv if inverse else fwd
     logn = n.bit_length() - 1
-    kern = partial(_ntt_kernel_multi, n=n, inverse=inverse)
+    kern = partial(_ntt_kernel_multi, n=n, inverse=inverse,
+                   final=inverse or fin is not None)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, B // block_b),

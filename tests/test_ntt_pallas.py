@@ -40,3 +40,37 @@ def test_pallas_polymul_sage_vectors_scaled():
     got = np.asarray(ntt_pallas.ntt_u32(prod, q, inverse=True, interpret=True))
     want = np.asarray(ntt.negacyclic_mul(a, b, q))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_multi_fin_mont_and_scale():
+    """fin epilogue options: forward Montgomery lift == to_mont(plain fwd);
+    inverse with folded scale == scale * plain INTT (mod q) — bit-exact on
+    the interpret path AND the XLA dispatcher path (ntt_multi mont/scale)."""
+    from fhe_study_tpu.ops.primes import ntt_primes
+    qs = ntt_primes(3, 30, 1 << 12)
+    n = 256
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(np.stack(
+        [rng.integers(0, q, (4, n)) for q in qs]).astype(np.uint64))
+    qcol = np.array(qs, object)[:, None, None]
+    e = ntt.ntt_multi(x, qs)
+    em = ntt.ntt_multi(x, qs, mont=True)
+    np.testing.assert_array_equal(
+        np.asarray(em).astype(object),
+        (np.asarray(e).astype(object) * (1 << 32)) % qcol)
+    pf = ntt_pallas.ntt_multi_u32(x.astype(jnp.uint32), qs, interpret=True,
+                                  fin=tuple((1 << 32) % q for q in qs))
+    np.testing.assert_array_equal(np.asarray(pf),
+                                  np.asarray(em).astype(np.uint32))
+    s = tuple(int(q - 5) for q in qs)
+    i0 = ntt.intt_multi(e, qs)
+    i1 = ntt.intt_multi(e, qs, scale=s)
+    np.testing.assert_array_equal(
+        np.asarray(i1).astype(object),
+        (np.asarray(i0).astype(object) * np.array(s, object)[:, None, None])
+        % qcol)
+    fin = tuple(pow(n, q - 2, q) * sv % q for q, sv in zip(qs, s))
+    pi = ntt_pallas.ntt_multi_u32(e.astype(jnp.uint32), qs, inverse=True,
+                                  interpret=True, fin=fin)
+    np.testing.assert_array_equal(np.asarray(pi),
+                                  np.asarray(i1).astype(np.uint32))
