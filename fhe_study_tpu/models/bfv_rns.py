@@ -349,26 +349,13 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     # a fused [L+M, ...] layout would cost two full-array concat copies
     # (~1.2 GB of pure HBM traffic per mul at N=2^14, B=64)
     four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=1).astype(jnp.uint32)
-    # forward transforms lift straight into the Montgomery domain (kernel
-    # epilogue), products of two lifted operands stay lifted (x y R), and
-    # the inverse transform folds t * R^-1 into its final n^-1 multiply —
-    # so dall_parts comes out as w = t*v directly, with the to_mont and
-    # w-scaling HBM passes gone entirely.
-    parts = (ntt_multi(four, qs, mont=True),
-             ntt_multi(fast_base_extend(four, qs, ps), ps, mont=True))
-    rinv = lambda q: pow(1 << 32, -1, q)  # noqa: E731
-    dall_parts = []
-    for e4, pr in zip(parts, (qs, ps)):
-        ex0, ex1, ey0, ey1 = (e4[:, i] for i in range(4))
-        qv32, nqv32, _ = (jnp.asarray(c)
-                          for c in modops32.consts(pr, x.c0.ndim))
-        prods = jnp.stack([
-            modops32.mont_mul(ex0, ey0, qv32, nqv32),
-            modops32.addmod(modops32.mont_mul(ex0, ey1, qv32, nqv32),
-                            modops32.mont_mul(ex1, ey0, qv32, nqv32), qv32),
-            modops32.mont_mul(ex1, ey1, qv32, nqv32)], axis=1)
-        dall_parts.append(intt_multi(
-            prods, pr, scale=tuple(param.t * rinv(q) % q for q in pr)))
+    # the whole transform pipeline (4 fwd NTT -> 3 pointwise products ->
+    # 3 INTT, t scaling folded into the epilogue) is ONE fused kernel per
+    # basis: w = t*v comes out directly, 4-read/3-write HBM total
+    dall_parts = [
+        ntt.tensor_mul_multi(four, qs, scale=(param.t,) * len(qs)),
+        ntt.tensor_mul_multi(fast_base_extend(four, qs, ps), ps,
+                             scale=(param.t,) * len(ps))]
     # 2. r = floor(t·v/Q): [w]_Q is the UNSIGNED remainder (w − [w]_Q =
     # Q·floor(w/Q), exact for signed w too) -> extend with the [0,Q)
     # interpretation; r is signed & small -> centered extension back to Q.

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ...ops import modops
 from ...ops.ntt import (ntt_multi, intt_multi, mulmod_v, _qvec, _addmod_v,
-                        _submod_v, barrett_muv)
+                        _submod_v, barrett_muv, tensor_mul_multi)
 from ...ops.primes import ntt_primes
 from ...utils import prng
 from ..bfv_rns import _to_residues, _bcast_mid
@@ -185,19 +185,10 @@ def mul_hybrid(param: Param, hrlk, x: CT, y: CT):
     """(x (x) y) -> hybrid relinearize -> rescale.  Returns (ct', param')
     with L-1 limbs and scale delta^2 / q_last."""
     from .. import hybrid_ks
-    from ...ops import modops32
     qs = param.qs
-    ex0, ex1 = (ntt_multi(c.astype(jnp.uint32), qs) for c in (x.c0, x.c1))
-    ey0, ey1 = (ntt_multi(c.astype(jnp.uint32), qs) for c in (y.c0, y.c1))
-    qv32, nqv32, r2v32 = (jnp.asarray(c)
-                          for c in modops32.consts(qs, x.c0.ndim))
-    ey0m = modops32.to_mont(ey0, qv32, nqv32, r2v32)
-    ey1m = modops32.to_mont(ey1, qv32, nqv32, r2v32)
-    d0 = intt_multi(modops32.mont_mul(ex0, ey0m, qv32, nqv32), qs)
-    d1 = intt_multi(modops32.addmod(
-        modops32.mont_mul(ex0, ey1m, qv32, nqv32),
-        modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32), qs)
-    d2 = intt_multi(modops32.mont_mul(ex1, ey1m, qv32, nqv32), qs)
+    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=1).astype(jnp.uint32)
+    d = tensor_mul_multi(four, qs)          # one fused kernel (see ops/ntt)
+    d0, d1, d2 = d[:, 0], d[:, 1], d[:, 2]
     sw = hybrid_ks.hybrid_key_switch(
         param, hrlk, CT(d0.astype(U64), d2.astype(U64)))
     qv = _qvec(qs, d1.ndim)
@@ -233,20 +224,10 @@ def mul(param: Param, rlk, x: CT, y: CT):
     — the standard CKKS level drop.  No base extension is needed: CKKS
     multiplies mod Q directly and divides by ONE prime."""
     from .. import bfv_rns
-    from ...ops import modops32
     qs = param.qs
-    # eval-domain products in u32 Montgomery (see bfv_rns._tensor)
-    ex0, ex1 = (ntt_multi(c.astype(jnp.uint32), qs) for c in (x.c0, x.c1))
-    ey0, ey1 = (ntt_multi(c.astype(jnp.uint32), qs) for c in (y.c0, y.c1))
-    qv32, nqv32, r2v32 = (jnp.asarray(c)
-                          for c in modops32.consts(qs, x.c0.ndim))
-    ey0m = modops32.to_mont(ey0, qv32, nqv32, r2v32)
-    ey1m = modops32.to_mont(ey1, qv32, nqv32, r2v32)
-    d0 = intt_multi(modops32.mont_mul(ex0, ey0m, qv32, nqv32), qs)
-    d1 = intt_multi(modops32.addmod(
-        modops32.mont_mul(ex0, ey1m, qv32, nqv32),
-        modops32.mont_mul(ex1, ey0m, qv32, nqv32), qv32), qs)
-    d2 = intt_multi(modops32.mont_mul(ex1, ey1m, qv32, nqv32), qs)
+    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=1).astype(jnp.uint32)
+    d = tensor_mul_multi(four, qs)          # one fused kernel (see ops/ntt)
+    d0, d1, d2 = d[:, 0], d[:, 1], d[:, 2]
     bp = _bfv_param(param)
     ct = bfv_rns.relinearize(bp, rlk, d0, d1, d2)
     ct = bfv_rns.mod_switch_drop(bp, bfv_rns.CT(ct.c0, ct.c1))

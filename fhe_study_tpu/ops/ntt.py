@@ -326,6 +326,40 @@ def intt_multi(a, qs: tuple, scale: tuple | None = None):
                     barrett_muv(qs, r.ndim) if max(qs) < (1 << 31) else None)
 
 
+def tensor_mul_multi(x4, qs: tuple, scale: tuple | None = None):
+    """Degree-2 negacyclic tensor product, per-prime.
+
+    x4: [L, 4, ..., n] coefficient-domain residues (x0, x1, y0, y1) mod
+    qs[i].  Returns [L, 3, ..., n] = scale_i * (x0*y0, x0*y1+x1*y0, x1*y1)
+    in the coefficient domain — the ct x ct degree-2 product of BFV/CKKS
+    multiplication (reference bfv/src/lib.rs:59-85 over
+    arith/src/ring_nq.rs:563-607).
+
+    On TPU this is ONE fused Pallas kernel (4 forward chains, 3 pointwise
+    products, 3 inverse chains, scale epilogue — no intermediate HBM);
+    elsewhere it falls back to mont-lifted transforms + XLA pointwise."""
+    n = x4.shape[-1]
+    assert x4.shape[1] == 4 and len(qs) == x4.shape[0]
+    if n > 1 and all(_pallas_ok(q, n) for q in qs):
+        from . import ntt_pallas
+        return ntt_pallas.tensor_mul_u32(x4, qs, scale=scale)
+    from . import modops32
+    e4 = ntt_multi(x4.astype(jnp.uint32), qs, mont=True)
+    ex0, ex1, ey0, ey1 = (e4[:, i] for i in range(4))
+    qv32, nqv32, _ = (jnp.asarray(c)
+                      for c in modops32.consts(qs, e4.ndim - 1))
+    prods = jnp.stack([
+        modops32.mont_mul(ex0, ey0, qv32, nqv32),
+        modops32.addmod(modops32.mont_mul(ex0, ey1, qv32, nqv32),
+                        modops32.mont_mul(ex1, ey0, qv32, nqv32), qv32),
+        modops32.mont_mul(ex1, ey1, qv32, nqv32)], axis=1)
+    # both operands were lifted (product = x*y*R): fold R^-1 (+ scale) in
+    rinv = lambda q: pow(1 << 32, -1, q)  # noqa: E731
+    sc = tuple((1 if scale is None else int(scale[i])) * rinv(q) % q
+               for i, q in enumerate(qs))
+    return intt_multi(prods, qs, scale=sc)
+
+
 # ---------------------------------------------------------------------------
 # Cyclic NTT, natural order (building block of the DISTRIBUTED four-step NTT:
 # negacyclic transform = psi-twist + cyclic NTT; see parallel/ntt_sharded.py).

@@ -357,6 +357,109 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
     return out.reshape((L,) + batch + (n,)).astype(orig_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Fused degree-2 tensor kernel: forward NTT of all four operand polynomials,
+# the three pointwise convolution products, and the inverse NTT of the
+# products — one VMEM round trip.  This is THE ct-mul hot path: unfused it
+# costs 4 fwd + 3 inv kernel launches plus an XLA pointwise stage, i.e.
+# 4r+4w (fwd) + 7r+3w (prod) + 3r+3w (inv) = 24 HBM array passes; fused it
+# is 4r+3w.  (Reference negacyclic mul: arith/src/ring_nq.rs:563-607 via
+# arith/src/ntt.rs:44-110; the degree-2 tensor: bfv/src/lib.rs:59-85.)
+# ---------------------------------------------------------------------------
+
+def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb):
+    q = consts_ref[0, pl.program_id(0)]
+    fin = consts_ref[1, pl.program_id(0)]      # n^-1 * R * scale (R cancels
+    fin_sh = consts_ref[2, pl.program_id(0)]   # the mont product's R^-1)
+    nqinv = consts_ref[3, pl.program_id(0)]
+    rows = n // LANES
+    logn = n.bit_length() - 1
+    x = x_ref[...].reshape(4 * bb, rows, LANES)
+    for s in range(logn):                      # CT forward, all 4 at once
+        t = n >> (s + 1)
+        tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
+        twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+        y = _swap_xor_t(x, t, rows)
+        first = _first_half_mask(x.shape, t)
+        p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
+        x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
+    x0, x1, y0, y1 = x[:bb], x[bb:2 * bb], x[2 * bb:3 * bb], x[3 * bb:]
+    p1 = _addmod_dyn(_mont_mul_dyn(x0, y1, q, nqinv),
+                     _mont_mul_dyn(x1, y0, q, nqinv), q)
+    x = jnp.concatenate([_mont_mul_dyn(x0, y0, q, nqinv), p1,
+                         _mont_mul_dyn(x1, y1, q, nqinv)], axis=0)
+    for s in range(logn):                      # GS inverse, all 3 products
+        t = 1 << s
+        tw = tw_ref[0, 1, 0, s, :].reshape(1, rows, LANES)
+        twp = tw_ref[0, 1, 1, s, :].reshape(1, rows, LANES)
+        y = _swap_xor_t(x, t, rows)
+        first = _first_half_mask(x.shape, t)
+        diff = _submod_dyn(y, x, q)
+        x = jnp.where(first, _addmod_dyn(x, y, q),
+                      _shoup_mul(diff, tw, twp, q))
+    x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
+                   jnp.full_like(x, 1) * fin_sh, q)
+    o_ref[...] = x.reshape(1, 3, bb, n)
+
+
+@lru_cache(maxsize=None)
+def _tensor_consts(qs: tuple, n: int, scale: tuple | None):
+    cons = np.zeros((4, len(qs)), np.uint32)
+    tws = []
+    for i, q in enumerate(qs):
+        fwd, inv, ninv_pair = _stage_tables(q, n)
+        s = 1 if scale is None else int(scale[i]) % q
+        # fin = n^-1 * 2^32 * scale: the in-kernel products are plain-domain
+        # Montgomery muls (x*y*R^-1), so R re-enters through the epilogue
+        f = (int(ninv_pair[0]) * ((1 << 32) % q) % q) * s % q
+        cons[0, i] = q
+        cons[1, i] = f
+        cons[2, i] = (f << 32) // q
+        cons[3, i] = _mont32_consts(q)[0]
+        tws.append(np.stack([fwd, inv]))       # [2, 2, logn, n]
+    return cons, np.stack(tws)                 # tw: [L, 2, 2, logn, n]
+
+
+def tensor_mul_u32(x4, qs: tuple, scale: tuple | None = None,
+                   interpret: bool | None = None):
+    """x4: [L, 4, ..., n] coefficient-domain (x0, x1, y0, y1) residues mod
+    qs[i].  Returns [L, 3, ..., n] = scale * (x0*y0, x0*y1 + x1*y0, x1*y1)
+    negacyclic products, coefficient domain."""
+    L = x4.shape[0]
+    n = x4.shape[-1]
+    assert L == len(qs) and x4.shape[1] == 4
+    assert n >= LANES and n % LANES == 0
+    batch = x4.shape[2:-1]
+    xb = x4.reshape((L, 4, -1, n)).astype(jnp.uint32)
+    B = xb.shape[2]
+    bb = max(1, min(B, (1 << 20) // (4 * n * 4)))
+    while B % bb:
+        bb -= 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    cons, tw = _tensor_consts(qs, n, scale)
+    logn = n.bit_length() - 1
+    kern = partial(_tensor_kernel_multi, n=n, bb=bb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B // bb),
+        in_specs=[
+            pl.BlockSpec((1, 4, bb, n), lambda p, i, *_: (p, 0 * p, i, 0 * p)),
+            pl.BlockSpec((1, 2, 2, logn, n),
+                         lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, bb, n),
+                               lambda p, i, *_: (p, 0 * p, i, 0 * p)),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((L, 3, B, n), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(cons), xb, jnp.asarray(tw))
+    return out.reshape((L, 3) + batch + (n,))
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform in ("tpu", "axon")

@@ -74,3 +74,30 @@ def test_pallas_multi_fin_mont_and_scale():
                                   interpret=True, fin=fin)
     np.testing.assert_array_equal(np.asarray(pi),
                                   np.asarray(i1).astype(np.uint32))
+
+
+def test_pallas_tensor_mul_fused():
+    """Fused tensor kernel (fwd x4 -> 3 products -> inv x3 + scale epilogue)
+    is bit-exact vs composing the public transforms, for both scale=None and
+    a per-prime scale."""
+    from fhe_study_tpu.ops.primes import ntt_primes
+    qs = ntt_primes(3, 30, 1 << 12)
+    n = 256
+    rng = np.random.default_rng(11)
+    x4 = jnp.asarray(np.stack(
+        [rng.integers(0, q, (4, 2, n)) for q in qs]).astype(np.uint32))
+    for scale in (None, tuple(int(q - 7) for q in qs)):
+        got = np.asarray(ntt_pallas.tensor_mul_u32(
+            x4, qs, scale=scale, interpret=True)).astype(object)
+        e = np.asarray(ntt.ntt_multi(x4.astype(jnp.uint64), qs)).astype(object)
+        qcol = np.array(qs, object).reshape(3, 1, 1)
+        p0 = (e[:, 0] * e[:, 2]) % qcol
+        p1 = (e[:, 0] * e[:, 3] + e[:, 1] * e[:, 2]) % qcol
+        p2 = (e[:, 1] * e[:, 3]) % qcol
+        want = np.asarray(ntt.intt_multi(
+            jnp.asarray(np.stack([p0, p1, p2], 1).astype(np.uint64)),
+            qs)).astype(object)
+        if scale is not None:
+            want = (want * np.array(scale, object).reshape(3, 1, 1, 1)) % \
+                qcol[:, None]
+        np.testing.assert_array_equal(got, want % qcol[:, None])
