@@ -47,6 +47,12 @@ class RnsParam:
     M: int            # number of P-basis (extension) primes
     prime_bits: int = 30
 
+    def __post_init__(self):
+        assert self.n >= 2 and (self.n & (self.n - 1)) == 0, \
+            f"ring degree n={self.n} must be a power of two (X^N+1 ring)"
+        assert self.L >= 1 and self.M >= 1 and self.t >= 2, \
+            f"need L,M >= 1 and t >= 2 (got L={self.L}, M={self.M}, t={self.t})"
+
     @property
     def qs(self):
         return ntt_primes(self.L, self.prime_bits, 1 << 16)
@@ -345,10 +351,11 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     # MXU transforms preserve the u32 dtype end-to-end.
     from ..ops import modops32
     # all four operands extended AND transformed in batched passes
-    # ([L, 4, B.., n]); the Q and P limb groups stay SPLIT end-to-end —
+    # ([L, B.., 4, n] — operand axis second-minor so the fused kernel can
+    # tile it whole); the Q and P limb groups stay SPLIT end-to-end —
     # a fused [L+M, ...] layout would cost two full-array concat copies
     # (~1.2 GB of pure HBM traffic per mul at N=2^14, B=64)
-    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=1).astype(jnp.uint32)
+    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=-2).astype(jnp.uint32)
     # the whole transform pipeline (4 fwd NTT -> 3 pointwise products ->
     # 3 INTT, t scaling folded into the epilogue) is ONE fused kernel per
     # basis: w = t*v comes out directly, 4-read/3-write HBM total
@@ -372,7 +379,7 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     r_p = modops32.mont_mul(modops32.submod(w_p, wq_in_p, pv32),
                             qinvm.reshape(pv32.shape), pv32, nq32p)
     out3 = fast_base_extend(r_p, ps, qs, centered=True)
-    return [out3[:, i] for i in range(3)]
+    return [out3[..., i, :] for i in range(3)]
 
 
 def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
@@ -386,35 +393,13 @@ def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     c0 = c0.astype(U64)
     c1 = c1.astype(U64)
     qv = _qvec(qs, c0.ndim)
-    mv = barrett_muv(qs, c0.ndim)
-    from ..ops import modops32
-    # digits [L_rows, L_primes, ..., n]: d_i mod q_j.  The primes share a
-    # magnitude band, so d_i/q_j < 2^(32-prime_bits+1): conditional
-    # subtracts beat any multiply-based reduction.
-    reps = (max(qs) - 1) // min(qs) + 1
-    qrow = jnp.asarray(np.array(qs, np.uint32)).reshape(
-        (1, L) + (1,) * (c2.ndim - 1))
-    d = c2.astype(jnp.uint32)[:, None, ...]
-    d = jnp.broadcast_to(d, (L, L) + c2.shape[1:])
-    for _ in range(reps):
-        d = jnp.where(d >= qrow, d - qrow, d)
-    # one transform launch for the whole (rows × primes) digit grid; the
-    # forward kernel lifts the digits into the Montgomery domain in its
-    # epilogue (reused for both the b and a accumulations)
-    edm = ntt_multi(d.reshape((L * L,) + d.shape[2:]),
-                    qs * L, mont=True).reshape(d.shape)
-    qv32, nqv32, _ = (jnp.asarray(c)[None]
-                      for c in modops32.consts(qs, c0.ndim))
-    rb = _bcast_mid(rlk.b, edm.ndim, lead=2).astype(jnp.uint32)
-    ra = _bcast_mid(rlk.a, edm.ndim, lead=2).astype(jnp.uint32)
-    pb = modops32.mont_mul(rb, edm, qv32, nqv32)
-    pa = modops32.mont_mul(ra, edm, qv32, nqv32)
-    acc0, acc1 = pb[0], pa[0]
-    for i in range(1, L):
-        acc0 = modops32.addmod(acc0, pb[i], qv32[0])
-        acc1 = modops32.addmod(acc1, pa[i], qv32[0])
-    r0 = _addmod_v(c0, intt_multi(acc0, qs).astype(U64), qv)
-    r1 = _addmod_v(c1, intt_multi(acc1, qs).astype(U64), qv)
+    # digits are c2's own limb residues reduced mod each prime — the whole
+    # digit grid + forward NTTs + key contraction + inverse NTTs run as one
+    # fused kernel (ops/ntt.ks_fused_multi); L is a static sanity pin
+    assert c2.shape[0] == L
+    acc0, acc1 = ntt.ks_fused_multi(c2, rlk.b, rlk.a, qs, qs)
+    r0 = _addmod_v(c0, acc0.astype(U64), qv)
+    r1 = _addmod_v(c1, acc1.astype(U64), qv)
     return CT(r0, r1)
 
 

@@ -37,6 +37,11 @@ class Param:
     delta: float           # encoding scale
     prime_bits: int = 30
 
+    def __post_init__(self):
+        assert self.n >= 4 and (self.n & (self.n - 1)) == 0, \
+            f"ring degree n={self.n} must be a power of two (X^N+1 ring)"
+        assert self.L >= 1 and self.delta > 0
+
     @property
     def qs(self):
         return ntt_primes(self.L, self.prime_bits, 1 << 16)
@@ -186,9 +191,9 @@ def mul_hybrid(param: Param, hrlk, x: CT, y: CT):
     with L-1 limbs and scale delta^2 / q_last."""
     from .. import hybrid_ks
     qs = param.qs
-    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=1).astype(jnp.uint32)
+    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=-2).astype(jnp.uint32)
     d = tensor_mul_multi(four, qs)          # one fused kernel (see ops/ntt)
-    d0, d1, d2 = d[:, 0], d[:, 1], d[:, 2]
+    d0, d1, d2 = d[..., 0, :], d[..., 1, :], d[..., 2, :]
     sw = hybrid_ks.hybrid_key_switch(
         param, hrlk, CT(d0.astype(U64), d2.astype(U64)))
     qv = _qvec(qs, d1.ndim)
@@ -225,9 +230,9 @@ def mul(param: Param, rlk, x: CT, y: CT):
     multiplies mod Q directly and divides by ONE prime."""
     from .. import bfv_rns
     qs = param.qs
-    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=1).astype(jnp.uint32)
+    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=-2).astype(jnp.uint32)
     d = tensor_mul_multi(four, qs)          # one fused kernel (see ops/ntt)
-    d0, d1, d2 = d[:, 0], d[:, 1], d[:, 2]
+    d0, d1, d2 = d[..., 0, :], d[..., 1, :], d[..., 2, :]
     bp = _bfv_param(param)
     ct = bfv_rns.relinearize(bp, rlk, d0, d1, d2)
     ct = bfv_rns.mod_switch_drop(bp, bfv_rns.CT(ct.c0, ct.c1))

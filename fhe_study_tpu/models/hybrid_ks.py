@@ -147,33 +147,31 @@ def ks_hoisted(param, hksk: HybridKSK, edm):
     (r0, r1), coeff-domain over Q: the switched encryption of c1*s_old
     (add r0 to c0 to finish a key switch)."""
     qs = param.qs
-    L = param.L
-    K = hksk.b.shape[1] - L
+    K = hksk.b.shape[1] - param.L
     ps = ks_ext_primes(param, K)
     both = qs + ps
-    from ..ops import modops32
-    qv32, nqv32, _ = (jnp.asarray(cst)[None]
-                      for cst in modops32.consts(both, edm.ndim - 1))
-    rb = _bcast_mid(hksk.b, edm.ndim, lead=2).astype(jnp.uint32)
-    ra = _bcast_mid(hksk.a, edm.ndim, lead=2).astype(jnp.uint32)
-    pb = modops32.mont_mul(rb, edm, qv32, nqv32)
-    pa = modops32.mont_mul(ra, edm, qv32, nqv32)
-    acc0, acc1 = pb[0], pa[0]
-    for i in range(1, L):
-        acc0 = modops32.addmod(acc0, pb[i], qv32[0])
-        acc1 = modops32.addmod(acc1, pa[i], qv32[0])
-    acc0 = intt_multi(acc0, both).astype(jnp.uint64)
-    acc1 = intt_multi(acc1, both).astype(jnp.uint64)
-    return (_div_by_P_round(param, acc0, ps),
-            _div_by_P_round(param, acc1, ps))
+    # contraction + both INTTs fuse into one kernel (ops/ntt)
+    from ..ops import ntt as ntt_ops
+    acc0, acc1 = ntt_ops.ks_contract_multi(edm, hksk.b, hksk.a, both)
+    return (_div_by_P_round(param, acc0.astype(jnp.uint64), ps),
+            _div_by_P_round(param, acc1.astype(jnp.uint64), ps))
 
 
 def hybrid_key_switch(param, hksk: HybridKSK, c) -> "bfv_rns.CT":
     """(c0, 0) + round(P^{-1} * sum_i [c1]_{q_i} * KSK_i) — the low-noise
-    switch.  c may carry batch axes."""
+    switch.  c may carry batch axes.
+
+    Single-shot path: digit reduction + forward NTTs + contraction + INTTs
+    run as ONE fused kernel (ntt.ks_fused_multi) — no materialized digit
+    grid.  (Multi-rotation callers hoist instead: hoist_digits once, then
+    ks_hoisted per rotation.)"""
+    from ..ops import ntt as ntt_ops
     K = hksk.b.shape[1] - param.L
-    edm = hoist_digits(param, c.c1, K=K)
-    r0, r1 = ks_hoisted(param, hksk, edm)
+    ps = ks_ext_primes(param, K)
+    r0c, r1c = ntt_ops.ks_fused_multi(c.c1, hksk.b, hksk.a,
+                                      param.qs + ps, param.qs)
+    r0 = _div_by_P_round(param, r0c.astype(jnp.uint64), ps)
+    r1 = _div_by_P_round(param, r1c.astype(jnp.uint64), ps)
     qv = _qvec(param.qs, r0.ndim)
     return bfv_rns.CT(_addmod_v(c.c0, r0, qv), r1)
 

@@ -329,8 +329,8 @@ def intt_multi(a, qs: tuple, scale: tuple | None = None):
 def tensor_mul_multi(x4, qs: tuple, scale: tuple | None = None):
     """Degree-2 negacyclic tensor product, per-prime.
 
-    x4: [L, 4, ..., n] coefficient-domain residues (x0, x1, y0, y1) mod
-    qs[i].  Returns [L, 3, ..., n] = scale_i * (x0*y0, x0*y1+x1*y0, x1*y1)
+    x4: [L, ..., 4, n] coefficient-domain residues (x0, x1, y0, y1) mod
+    qs[i].  Returns [L, ..., 3, n] = scale_i * (x0*y0, x0*y1+x1*y0, x1*y1)
     in the coefficient domain — the ct x ct degree-2 product of BFV/CKKS
     multiplication (reference bfv/src/lib.rs:59-85 over
     arith/src/ring_nq.rs:563-607).
@@ -339,25 +339,89 @@ def tensor_mul_multi(x4, qs: tuple, scale: tuple | None = None):
     products, 3 inverse chains, scale epilogue — no intermediate HBM);
     elsewhere it falls back to mont-lifted transforms + XLA pointwise."""
     n = x4.shape[-1]
-    assert x4.shape[1] == 4 and len(qs) == x4.shape[0]
+    assert x4.shape[-2] == 4 and len(qs) == x4.shape[0]
     if n > 1 and all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
         return ntt_pallas.tensor_mul_u32(x4, qs, scale=scale)
     from . import modops32
     e4 = ntt_multi(x4.astype(jnp.uint32), qs, mont=True)
-    ex0, ex1, ey0, ey1 = (e4[:, i] for i in range(4))
+    ex0, ex1, ey0, ey1 = (e4[..., i, :] for i in range(4))
     qv32, nqv32, _ = (jnp.asarray(c)
                       for c in modops32.consts(qs, e4.ndim - 1))
     prods = jnp.stack([
         modops32.mont_mul(ex0, ey0, qv32, nqv32),
         modops32.addmod(modops32.mont_mul(ex0, ey1, qv32, nqv32),
                         modops32.mont_mul(ex1, ey0, qv32, nqv32), qv32),
-        modops32.mont_mul(ex1, ey1, qv32, nqv32)], axis=1)
+        modops32.mont_mul(ex1, ey1, qv32, nqv32)], axis=-2)
     # both operands were lifted (product = x*y*R): fold R^-1 (+ scale) in
     rinv = lambda q: pow(1 << 32, -1, q)  # noqa: E731
     sc = tuple((1 if scale is None else int(scale[i])) * rinv(q) % q
                for i, q in enumerate(qs))
     return intt_multi(prods, qs, scale=sc)
+
+
+def _key_mid(k, ndim: int):
+    """Align [R, Lp, n] key material against [R, Lp, batch.., n] digits."""
+    if k.ndim == 3:
+        return k.reshape(k.shape[:2] + (1,) * (ndim - 3) + k.shape[-1:])
+    return k
+
+
+def ks_contract_multi(edm, kb, ka, primes: tuple):
+    """Gadget key-switch contraction on HOISTED digits.
+
+    edm: [R, Lp, ..., n] Montgomery-lifted eval-domain digits
+    (hybrid_ks.hoist_digits); kb/ka: [R, Lp, n] eval-domain key rows.
+    Returns (r0, r1) coeff-domain [Lp, ..., n]:
+    r = INTT(sum_i edm_i * k_i) — the gadget product of
+    gfhe/src/glwe.rs:126-137 / glev.rs:67-80 in RNS-NTT form.
+
+    TPU: one fused Pallas kernel (products + tree-sum + 2 inverse chains
+    in VMEM).  Fallback: XLA pointwise + intt_multi."""
+    n = edm.shape[-1]
+    R = edm.shape[0]
+    if n > 1 and all(_pallas_ok(p, n) for p in primes) and kb.ndim == 3:
+        from . import ntt_pallas
+        return ntt_pallas.ks_contract_u32(edm, kb, ka, primes)
+    from . import modops32
+    qv32, nqv32, _ = (jnp.asarray(c)[None]
+                      for c in modops32.consts(primes, edm.ndim - 1))
+    rb = _key_mid(kb, edm.ndim).astype(jnp.uint32)
+    ra = _key_mid(ka, edm.ndim).astype(jnp.uint32)
+    pb = modops32.mont_mul(rb, edm, qv32, nqv32)
+    pa = modops32.mont_mul(ra, edm, qv32, nqv32)
+    acc0, acc1 = pb[0], pa[0]
+    for i in range(1, R):
+        acc0 = modops32.addmod(acc0, pb[i], qv32[0])
+        acc1 = modops32.addmod(acc1, pa[i], qv32[0])
+    return intt_multi(acc0, primes), intt_multi(acc1, primes)
+
+
+def ks_fused_multi(c_limbs, kb, ka, primes: tuple, src_primes: tuple):
+    """FULLY fused gadget key switch: per-prime digit reduction, forward
+    NTT of the R digit rows, key contraction, and the 2 inverse NTTs.
+
+    c_limbs: [R, ..., n] limb residues (row i < src_primes[i]); kb/ka:
+    [R, Lp, n].  Returns (r0, r1) coeff-domain [Lp, ..., n].  On TPU the
+    R limb arrays are read once and 2*Lp outputs written — no digit grid,
+    NTT round trip, or product tensor ever hits HBM."""
+    n = c_limbs.shape[-1]
+    R = c_limbs.shape[0]
+    Lp = len(primes)
+    if n > 1 and all(_pallas_ok(p, n) for p in primes) and kb.ndim == 3:
+        from . import ntt_pallas
+        return ntt_pallas.ks_fused_u32(c_limbs, kb, ka, primes, src_primes)
+    # fallback: materialized digit grid (still one batched transform)
+    reps = (max(src_primes) - 1) // min(primes) + 1
+    prow = jnp.asarray(np.array(primes, np.uint32)).reshape(
+        (1, Lp) + (1,) * (c_limbs.ndim - 1))
+    d = jnp.broadcast_to(c_limbs.astype(jnp.uint32)[:, None],
+                         (R, Lp) + c_limbs.shape[1:])
+    for _ in range(reps):
+        d = jnp.where(d >= prow, d - prow, d)
+    edm = ntt_multi(d.reshape((R * Lp,) + d.shape[2:]), primes * R,
+                    mont=True).reshape(d.shape)
+    return ks_contract_multi(edm, kb, ka, primes)
 
 
 # ---------------------------------------------------------------------------

@@ -368,6 +368,9 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
 # ---------------------------------------------------------------------------
 
 def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb):
+    # layouts put the operand axis SECOND-MINOR ([.., bb, 4, n]): Mosaic
+    # requires tiled (last-two) block dims divisible by (8, 128) or full —
+    # a full-size operand axis there leaves the batch block size bb free
     q = consts_ref[0, pl.program_id(0)]
     fin = consts_ref[1, pl.program_id(0)]      # n^-1 * R * scale (R cancels
     fin_sh = consts_ref[2, pl.program_id(0)]   # the mont product's R^-1)
@@ -383,11 +386,13 @@ def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb):
         first = _first_half_mask(x.shape, t)
         p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
         x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
-    x0, x1, y0, y1 = x[:bb], x[bb:2 * bb], x[2 * bb:3 * bb], x[3 * bb:]
+    xr = x.reshape(bb, 4, rows, LANES)
+    x0, x1, y0, y1 = xr[:, 0], xr[:, 1], xr[:, 2], xr[:, 3]
     p1 = _addmod_dyn(_mont_mul_dyn(x0, y1, q, nqinv),
                      _mont_mul_dyn(x1, y0, q, nqinv), q)
-    x = jnp.concatenate([_mont_mul_dyn(x0, y0, q, nqinv), p1,
-                         _mont_mul_dyn(x1, y1, q, nqinv)], axis=0)
+    x = jnp.stack([_mont_mul_dyn(x0, y0, q, nqinv), p1,
+                   _mont_mul_dyn(x1, y1, q, nqinv)],
+                  axis=1).reshape(3 * bb, rows, LANES)
     for s in range(logn):                      # GS inverse, all 3 products
         t = 1 << s
         tw = tw_ref[0, 1, 0, s, :].reshape(1, rows, LANES)
@@ -399,40 +404,49 @@ def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb):
                       _shoup_mul(diff, tw, twp, q))
     x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
                    jnp.full_like(x, 1) * fin_sh, q)
-    o_ref[...] = x.reshape(1, 3, bb, n)
+    o_ref[...] = x.reshape(1, bb, 3, n)
+
+
+@lru_cache(maxsize=None)
+def _dual_tw(qs: tuple, n: int):
+    """Stacked fwd+inv twiddle tables: [L, 2(fwd/inv), 2(w/shoup), logn, n]."""
+    return np.stack([np.stack(_stage_tables(q, n)[:2]) for q in qs])
 
 
 @lru_cache(maxsize=None)
 def _tensor_consts(qs: tuple, n: int, scale: tuple | None):
     cons = np.zeros((4, len(qs)), np.uint32)
-    tws = []
     for i, q in enumerate(qs):
-        fwd, inv, ninv_pair = _stage_tables(q, n)
+        ninv = int(_stage_tables(q, n)[2][0])
         s = 1 if scale is None else int(scale[i]) % q
         # fin = n^-1 * 2^32 * scale: the in-kernel products are plain-domain
         # Montgomery muls (x*y*R^-1), so R re-enters through the epilogue
-        f = (int(ninv_pair[0]) * ((1 << 32) % q) % q) * s % q
+        f = (ninv * ((1 << 32) % q) % q) * s % q
         cons[0, i] = q
         cons[1, i] = f
         cons[2, i] = (f << 32) // q
         cons[3, i] = _mont32_consts(q)[0]
-        tws.append(np.stack([fwd, inv]))       # [2, 2, logn, n]
-    return cons, np.stack(tws)                 # tw: [L, 2, 2, logn, n]
+    return cons, _dual_tw(qs, n)               # tw: [L, 2, 2, logn, n]
 
 
 def tensor_mul_u32(x4, qs: tuple, scale: tuple | None = None,
                    interpret: bool | None = None):
-    """x4: [L, 4, ..., n] coefficient-domain (x0, x1, y0, y1) residues mod
-    qs[i].  Returns [L, 3, ..., n] = scale * (x0*y0, x0*y1 + x1*y0, x1*y1)
+    """x4: [L, ..., 4, n] coefficient-domain (x0, x1, y0, y1) residues mod
+    qs[i].  Returns [L, ..., 3, n] = scale * (x0*y0, x0*y1 + x1*y0, x1*y1)
     negacyclic products, coefficient domain."""
     L = x4.shape[0]
     n = x4.shape[-1]
-    assert L == len(qs) and x4.shape[1] == 4
+    assert L == len(qs) and x4.shape[-2] == 4
     assert n >= LANES and n % LANES == 0
-    batch = x4.shape[2:-1]
-    xb = x4.reshape((L, 4, -1, n)).astype(jnp.uint32)
-    B = xb.shape[2]
-    bb = max(1, min(B, (1 << 20) // (4 * n * 4)))
+    batch = x4.shape[1:-2]
+    xb = x4.reshape((L, -1, 4, n)).astype(jnp.uint32)
+    B = xb.shape[1]
+    # VMEM stack budget: the twiddle block alone is 2*2*logn*n*4 bytes
+    # (~7.3 MB at n=2^14) and Mosaic keeps ~2.4 MB of live temporaries per
+    # batch row through the butterfly loops — bb=4 at n=2^14 overflows the
+    # 16 MB scoped-vmem limit (measured 16.95 MB).  512 KB of input rows
+    # per block keeps the whole stack ≲ 12 MB at every n.
+    bb = max(1, min(B, (1 << 19) // (4 * n * 4)))
     while B % bb:
         bb -= 1
     if interpret is None:
@@ -444,20 +458,177 @@ def tensor_mul_u32(x4, qs: tuple, scale: tuple | None = None,
         num_scalar_prefetch=1,
         grid=(L, B // bb),
         in_specs=[
-            pl.BlockSpec((1, 4, bb, n), lambda p, i, *_: (p, 0 * p, i, 0 * p)),
+            pl.BlockSpec((1, bb, 4, n), lambda p, i, *_: (p, i, 0 * p, 0 * p)),
             pl.BlockSpec((1, 2, 2, logn, n),
                          lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
         ],
-        out_specs=pl.BlockSpec((1, 3, bb, n),
-                               lambda p, i, *_: (p, 0 * p, i, 0 * p)),
+        out_specs=pl.BlockSpec((1, bb, 3, n),
+                               lambda p, i, *_: (p, i, 0 * p, 0 * p)),
     )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((L, 3, B, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, B, 3, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(jnp.asarray(cons), xb, jnp.asarray(tw))
-    return out.reshape((L, 3) + batch + (n,))
+    return out.reshape((L,) + batch + (3, n))
+
+
+# ---------------------------------------------------------------------------
+# Fused gadget key-switch contraction: the hot path of relinearization,
+# hybrid key switching, and every Galois rotation (reference key_switch:
+# gfhe/src/glwe.rs:126-137; relin: bfv/src/lib.rs:251-271).
+#   fwd variant:   per-prime digit reduction (conditional subtracts) + R
+#                  forward NTT chains + 2R key products + tree-sum + 2
+#                  inverse chains, one VMEM pass — reads the R ciphertext
+#                  limbs once, writes 2 outputs per prime.  (Unfused this is
+#                  an XLA digit pass, an R*Lp-array NTT round trip, an XLA
+#                  contraction, and an INTT round trip.)
+#   hoisted variant: same minus digit/forward (input = Montgomery
+#                  eval-domain digits shared across rotations, 2018/244 §5).
+# ---------------------------------------------------------------------------
+
+def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, o_ref, *,
+                     n, R, bb, fwd, reps):
+    q = consts_ref[0, pl.program_id(0)]
+    fin = consts_ref[1, pl.program_id(0)]
+    fin_sh = consts_ref[2, pl.program_id(0)]
+    nqinv = consts_ref[3, pl.program_id(0)]
+    rows = n // LANES
+    logn = n.bit_length() - 1
+    x = x_ref[...].reshape(bb * R, rows, LANES)
+    if fwd:
+        for _ in range(reps):                  # limb residue -> mod q_j
+            x = jnp.where(x >= q, x - q, x)
+        for s in range(logn):                  # CT forward, all R rows
+            t = n >> (s + 1)
+            tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
+            twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+            y = _swap_xor_t(x, t, rows)
+            first = _first_half_mask(x.shape, t)
+            p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
+            x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
+    inv_pl = 1 if fwd else 0                   # hoisted passes inv table only
+    xr = x.reshape(bb, R, rows, LANES)
+    kb = jnp.broadcast_to(kb_ref[...].reshape(1, R, rows, LANES), xr.shape)
+    ka = jnp.broadcast_to(ka_ref[...].reshape(1, R, rows, LANES), xr.shape)
+    pb = _mont_mul_dyn(xr, kb, q, nqinv)
+    pa = _mont_mul_dyn(xr, ka, q, nqinv)
+    acc0, acc1 = pb[:, 0], pa[:, 0]
+    for i in range(1, R):
+        acc0 = _addmod_dyn(acc0, pb[:, i], q)
+        acc1 = _addmod_dyn(acc1, pa[:, i], q)
+    x = jnp.stack([acc0, acc1], axis=1).reshape(bb * 2, rows, LANES)
+    for s in range(logn):                      # GS inverse on both outputs
+        t = 1 << s
+        tw = tw_ref[0, inv_pl, 0, s, :].reshape(1, rows, LANES)
+        twp = tw_ref[0, inv_pl, 1, s, :].reshape(1, rows, LANES)
+        y = _swap_xor_t(x, t, rows)
+        first = _first_half_mask(x.shape, t)
+        diff = _submod_dyn(y, x, q)
+        x = jnp.where(first, _addmod_dyn(x, y, q),
+                      _shoup_mul(diff, tw, twp, q))
+    x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
+                   jnp.full_like(x, 1) * fin_sh, q)
+    o_ref[...] = x.reshape(1, bb, 2, n)
+
+
+@lru_cache(maxsize=None)
+def _ks_consts(qs: tuple, n: int, fwd: bool):
+    cons = np.zeros((4, len(qs)), np.uint32)
+    for i, q in enumerate(qs):
+        ninv = int(_stage_tables(q, n)[2][0])
+        # fwd: in-kernel products are x*k*R^-1 -> fold R back in.
+        # hoisted: digits arrive Montgomery-lifted -> products are plain x*k.
+        f = ninv * ((1 << 32) % q) % q if fwd else ninv
+        cons[0, i] = q
+        cons[1, i] = f
+        cons[2, i] = (f << 32) // q
+        cons[3, i] = _mont32_consts(q)[0]
+    return cons
+
+
+def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret):
+    """Shared pallas_call plumbing.  xb: [B, R, n] (fwd) or [Lp, B, R, n]
+    (hoisted); kbT/kaT: [Lp, R, n].  Returns [Lp, B, 2, n] u32."""
+    R = xb.shape[-2]
+    n = xb.shape[-1]
+    Lp = len(primes)
+    B = xb.shape[-3]
+    # same scoped-vmem model as tensor_mul_u32: 512 KB of input rows per
+    # block (the kernel holds ~3 live copies of the bb*R row set around the
+    # contraction, next to the twiddle block)
+    bb = max(1, min(B, (1 << 19) // (R * n * 4)))
+    while B % bb:
+        bb -= 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    cons = _ks_consts(primes, n, fwd)
+    tw = _dual_tw(primes, n)
+    if not fwd:
+        tw = tw[:, 1:]                         # inverse plane only
+    ntw = tw.shape[1]
+    logn = n.bit_length() - 1
+    kern = partial(_ks_kernel_multi, n=n, R=R, bb=bb, fwd=fwd, reps=reps)
+    if fwd:
+        x_spec = pl.BlockSpec((bb, R, n), lambda p, i, *_: (i, 0 * p, 0 * p))
+    else:
+        x_spec = pl.BlockSpec((1, bb, R, n),
+                              lambda p, i, *_: (p, i, 0 * p, 0 * p))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Lp, B // bb),
+        in_specs=[
+            x_spec,
+            pl.BlockSpec((1, ntw, 2, logn, n),
+                         lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
+            pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
+            pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
+        ],
+        out_specs=pl.BlockSpec((1, bb, 2, n),
+                               lambda p, i, *_: (p, i, 0 * p, 0 * p)),
+    )
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Lp, B, 2, n), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(cons), xb, jnp.asarray(tw),
+      kbT.astype(jnp.uint32), kaT.astype(jnp.uint32))
+
+
+def ks_fused_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
+                 interpret: bool | None = None):
+    """c_limbs: [R, ..., n] limb residues (row i < src_primes[i]); kb/ka:
+    [R, Lp, n] eval-domain gadget keys mod primes[j].  Returns
+    (r0, r1), each [Lp, ..., n] coeff-domain: r = sum_i [c_i]_{p_j} * k_ij."""
+    R = c_limbs.shape[0]
+    n = c_limbs.shape[-1]
+    Lp = len(primes)
+    assert kb.shape == ka.shape == (R, Lp, n)
+    batch = c_limbs.shape[1:-1]
+    xb = jnp.moveaxis(c_limbs.reshape((R, -1, n)), 0, 1).astype(jnp.uint32)
+    reps = (max(src_primes) - 1) // min(primes) + 1
+    out = _ks_call(xb, jnp.moveaxis(kb, 0, 1), jnp.moveaxis(ka, 0, 1),
+                   primes, True, reps, interpret)
+    r = out.reshape((Lp,) + batch + (2, n))
+    return r[..., 0, :], r[..., 1, :]
+
+
+def ks_contract_u32(edm, kb, ka, primes: tuple,
+                    interpret: bool | None = None):
+    """Hoisted variant: edm [R, Lp, ..., n] MONTGOMERY eval-domain digits
+    (hoist_digits output).  Same return contract as ks_fused_u32."""
+    R, Lp = edm.shape[0], edm.shape[1]
+    n = edm.shape[-1]
+    assert Lp == len(primes) and kb.shape == ka.shape == (R, Lp, n)
+    batch = edm.shape[2:-1]
+    xb = jnp.transpose(edm.reshape((R, Lp, -1, n)),
+                       (1, 2, 0, 3)).astype(jnp.uint32)   # [Lp, B, R, n]
+    out = _ks_call(xb, jnp.moveaxis(kb, 0, 1), jnp.moveaxis(ka, 0, 1),
+                   primes, False, 0, interpret)
+    r = out.reshape((Lp,) + batch + (2, n))
+    return r[..., 0, :], r[..., 1, :]
 
 
 def _on_tpu() -> bool:

@@ -79,25 +79,70 @@ def test_pallas_multi_fin_mont_and_scale():
 def test_pallas_tensor_mul_fused():
     """Fused tensor kernel (fwd x4 -> 3 products -> inv x3 + scale epilogue)
     is bit-exact vs composing the public transforms, for both scale=None and
-    a per-prime scale."""
+    a per-prime scale.  Layout: [L, batch, 4, n] -> [L, batch, 3, n]."""
     from fhe_study_tpu.ops.primes import ntt_primes
     qs = ntt_primes(3, 30, 1 << 12)
     n = 256
     rng = np.random.default_rng(11)
     x4 = jnp.asarray(np.stack(
-        [rng.integers(0, q, (4, 2, n)) for q in qs]).astype(np.uint32))
+        [rng.integers(0, q, (2, 4, n)) for q in qs]).astype(np.uint32))
     for scale in (None, tuple(int(q - 7) for q in qs)):
         got = np.asarray(ntt_pallas.tensor_mul_u32(
             x4, qs, scale=scale, interpret=True)).astype(object)
         e = np.asarray(ntt.ntt_multi(x4.astype(jnp.uint64), qs)).astype(object)
         qcol = np.array(qs, object).reshape(3, 1, 1)
-        p0 = (e[:, 0] * e[:, 2]) % qcol
-        p1 = (e[:, 0] * e[:, 3] + e[:, 1] * e[:, 2]) % qcol
-        p2 = (e[:, 1] * e[:, 3]) % qcol
+        p0 = (e[:, :, 0] * e[:, :, 2]) % qcol
+        p1 = (e[:, :, 0] * e[:, :, 3] + e[:, :, 1] * e[:, :, 2]) % qcol
+        p2 = (e[:, :, 1] * e[:, :, 3]) % qcol
         want = np.asarray(ntt.intt_multi(
-            jnp.asarray(np.stack([p0, p1, p2], 1).astype(np.uint64)),
+            jnp.asarray(np.stack([p0, p1, p2], 2).astype(np.uint64)),
             qs)).astype(object)
         if scale is not None:
             want = (want * np.array(scale, object).reshape(3, 1, 1, 1)) % \
                 qcol[:, None]
         np.testing.assert_array_equal(got, want % qcol[:, None])
+
+
+def test_pallas_ks_fused_and_hoisted():
+    """Fused key-switch kernels vs the XLA fallback: bit-exact for both the
+    full (digits+fwd in-kernel) and hoisted (Montgomery eval digits in)
+    variants."""
+    from fhe_study_tpu.ops.primes import ntt_primes
+    qs = ntt_primes(3, 30, 1 << 12)          # digit source basis
+    both = qs + ntt_primes(2, 30, 1 << 12, skip=3)
+    n, B, R = 256, 2, 3
+    Lp = len(both)
+    rng = np.random.default_rng(13)
+    c = jnp.asarray(np.stack(
+        [rng.integers(0, q, (B, n)) for q in qs]).astype(np.uint64))
+    kb = jnp.asarray(np.stack(
+        [np.stack([rng.integers(0, p, n) for p in both])
+         for _ in range(R)]).astype(np.uint64))
+    ka = jnp.asarray(np.stack(
+        [np.stack([rng.integers(0, p, n) for p in both])
+         for _ in range(R)]).astype(np.uint64))
+    # XLA fallback reference (CPU dispatch takes this path automatically)
+    want0, want1 = ntt.ks_fused_multi(c, kb, ka, both, qs)
+    got0, got1 = ntt_pallas.ks_fused_u32(c, kb, ka, both, qs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got0),
+                                  np.asarray(want0).astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(got1),
+                                  np.asarray(want1).astype(np.uint32))
+    # hoisted variant against the same reference: build Montgomery eval
+    # digits exactly as hybrid_ks.hoist_digits does
+    prow = np.array(both, np.uint64).reshape(1, Lp, 1, 1)
+    d = np.broadcast_to(np.asarray(c, np.uint64)[:, None],
+                        (R, Lp, B, n)) % prow
+    edm = ntt.ntt_multi(jnp.asarray(d.reshape(R * Lp, B, n)), both * R,
+                        mont=True).reshape(d.shape).astype(jnp.uint32)
+    h0, h1 = ntt_pallas.ks_contract_u32(edm, kb, ka, both, interpret=True)
+    np.testing.assert_array_equal(np.asarray(h0),
+                                  np.asarray(want0).astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(h1),
+                                  np.asarray(want1).astype(np.uint32))
+    # dispatcher fallback for the hoisted path agrees too
+    f0, f1 = ntt.ks_contract_multi(edm, kb, ka, both)
+    np.testing.assert_array_equal(np.asarray(f0).astype(np.uint64),
+                                  np.asarray(want0))
+    np.testing.assert_array_equal(np.asarray(f1).astype(np.uint64),
+                                  np.asarray(want1))
