@@ -46,7 +46,7 @@ def bench_tfhe():
 
     n = int(os.environ.get("FHE_BENCH_N", 1024))
     t = int(os.environ.get("FHE_BENCH_T", 8))
-    B = int(os.environ.get("FHE_BENCH_B", 8))
+    B = int(os.environ.get("FHE_BENCH_B", 64))   # fused chain amortizes
     iters = int(os.environ.get("FHE_BENCH_ITERS", 1))
     beta, l = 256, 3
     beta_ks, l_ks = 16, 8

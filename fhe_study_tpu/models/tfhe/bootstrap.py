@@ -99,7 +99,8 @@ def precompute_btk_evals(param: Param, btk: BootstrappingKey):
 
 def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
                    beta: int = 2, l: int = 64, mode: str = "standard",
-                   fast: bool = True, btk_evals=None) -> GLWE:
+                   fast: bool = True, btk_evals=None,
+                   fused: bool | None = None) -> GLWE:
     """acc = v·X^{-b'} ; for each key bit j: acc = CMux(btk_j, acc, acc·X^{+a'_j}).
 
     Final rotation ≈ -(b' - Σ a'_j s_j) = -phase(m).  The chain runs as a
@@ -107,7 +108,11 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
 
     fast=True (when the CRT bound admits it) pre-transforms the WHOLE
     bootstrapping key to the NTT domain in one batched pass and scans over
-    its eval slices — the production Fourier-domain-BSK layout."""
+    its eval slices — the production Fourier-domain-BSK layout.
+
+    fused: run the ENTIRE chain as one Pallas kernel (accumulator resident
+    in VMEM, BSK slices streamed) — bit-identical to the scan.  None = auto
+    (TPU only); True forces it (interpret mode off-TPU, for tests)."""
     kn, n = param.kn, param.ring.n
     q2 = (2 * n) if mode == "standard" else kn
     if mode == "standard":
@@ -123,6 +128,27 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
 
     a_T = jnp.moveaxis(c2.a, -1, 0)                        # [kn, ...batch]
     use_fast = fast and (param.k + 1) * l * n * beta < (1 << 28)
+    if fused is None or fused:
+        from ...ops import blind_rotate_pallas as brp
+        from ...ops.ntt_pallas import _on_tpu
+        ok = use_fast and brp.supported(param, beta, l)
+        if ok and (fused or _on_tpu()):
+            gev = btk_evals if btk_evals is not None else \
+                tggsw_mod.precompute_evals(param, TGGSW(a=btk.btk_a,
+                                                        b=btk.btk_b))
+            batch = c2.b.shape
+            B = 1
+            for d in batch:
+                B *= d
+            shifts = (U64(2 * n) - c2.a.reshape(B, kn).T) % U64(2 * n)
+            a0 = jnp.concatenate([acc0.a.reshape(B, param.k, n),
+                                  acc0.b.reshape(B, 1, n)], axis=1)
+            out = brp.blind_rotate_fused(
+                shifts.astype(jnp.int32), a0, gev.ev1, gev.ev2, n,
+                w=beta.bit_length() - 1,
+                interpret=(None if fused is None else not _on_tpu()))
+            out = out.reshape(batch + (param.k + 1, n))
+            return GLWE(a=out[..., :param.k, :], b=out[..., param.k, :])
     if use_fast:
         # Fourier-domain BSK: use the precomputed transform when the caller
         # supplies one (btk_evals), else transform here (amortized only over
