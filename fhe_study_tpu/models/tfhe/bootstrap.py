@@ -140,7 +140,10 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
             B = 1
             for d in batch:
                 B *= d
-            shifts = (U64(2 * n) - c2.a.reshape(B, kn).T) % U64(2 * n)
+            # chain length = the ciphertext's mask length (n_lwe < kn in
+            # the keyswitch-first bootstrap_short pipeline)
+            steps = c2.a.shape[-1]
+            shifts = (U64(2 * n) - c2.a.reshape(B, steps).T) % U64(2 * n)
             a0 = jnp.concatenate([acc0.a.reshape(B, param.k, n),
                                   acc0.b.reshape(B, 1, n)], axis=1)
             out = brp.blind_rotate_fused(
@@ -222,7 +225,7 @@ def precompute_short_btk_evals(param: Param, sbtk: ShortBootstrappingKey):
 def bootstrap_short(param: Param, sbtk: ShortBootstrappingKey, table: GLWE,
                     c: TLWE, beta: int = 256, l: int = 3,
                     beta_ks: int = 16, l_ks: int = 8,
-                    btk_evals=None) -> TLWE:
+                    btk_evals=None, fused: bool | None = None) -> TLWE:
     """key_switch (kn -> n_lwe) -> blind rotation (n_lwe CMux steps) ->
     sample_extraction.  Input and output both live under s_flat."""
     ksk = tlwe_mod.KSK(a=sbtk.ksk_a, b=sbtk.ksk_b)
@@ -230,7 +233,8 @@ def bootstrap_short(param: Param, sbtk: ShortBootstrappingKey, table: GLWE,
     btk = BootstrappingKey(btk_a=sbtk.btk_a, btk_b=sbtk.btk_b,
                            ksk_a=sbtk.ksk_a, ksk_b=sbtk.ksk_b)
     rotated = blind_rotation(param, btk, table, c_short, beta, l,
-                             mode="standard", btk_evals=btk_evals)
+                             mode="standard", btk_evals=btk_evals,
+                             fused=fused)
     return tglwe_mod.sample_extraction(param, rotated, 0)
 
 
@@ -238,10 +242,10 @@ def bootstrap(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
               beta: int = 2, l: int = 64,
               beta_ks: int = 2, l_ks: int = 64,
               mode: str = "standard", fast: bool = True,
-              btk_evals=None) -> TLWE:
+              btk_evals=None, fused: bool | None = None) -> TLWE:
     """blind rotation -> sample_extraction(0) -> key switch (tlwe.rs:150-161)."""
     rotated = blind_rotation(param, btk, table, c, beta, l, mode, fast=fast,
-                             btk_evals=btk_evals)
+                             btk_evals=btk_evals, fused=fused)
     c_h = tglwe_mod.sample_extraction(param, rotated, 0)
     ksk = tlwe_mod.KSK(a=btk.ksk_a, b=btk.ksk_b)
     return tlwe_mod.key_switch(param.lwe(), beta_ks, l_ks, ksk, c_h)

@@ -174,3 +174,27 @@ def test_blind_rotation_fused_kernel_parity():
         np.asarray(ref.a), np.asarray(out[:, :param.k, :]))
     np.testing.assert_array_equal(
         np.asarray(ref.b), np.asarray(out[:, param.k, :]))
+
+
+def test_bootstrap_short_fused_parity():
+    """bootstrap_short through the fused kernel == through the scan (the
+    chain length is n_lwe, not param.kn — regression for the steps-vs-kn
+    wiring)."""
+    n, t = 128, 8
+    param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
+    k1, k2, k3 = prng.split(jax.random.PRNGKey(11), 3)
+    table = bootstrap.compute_lookup_table_standard(param)
+    s, _ = tglwe.new_key(k1, param)
+    s_flat = tglwe.sk_to_tlwe(s)
+    sbtk = bootstrap.new_short_bootstrapping_key(
+        k2, param, s, n_lwe=64, beta=256, l=3, beta_ks=16, l_ks=8)
+    B = 2
+    m = jnp.arange(B, dtype=jnp.uint64) % jnp.uint64(t // 2)
+    c = tlwe.encrypt_uniform(k3, param.lwe(), s_flat, tlwe.encode(param, m),
+                             batch=(B,))
+    ref = bootstrap.bootstrap_short(param, sbtk, table, c, beta=256, l=3,
+                                    beta_ks=16, l_ks=8, fused=False)
+    got = bootstrap.bootstrap_short(param, sbtk, table, c, beta=256, l=3,
+                                    beta_ks=16, l_ks=8, fused=True)
+    np.testing.assert_array_equal(np.asarray(ref.a), np.asarray(got.a))
+    np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(got.b))
