@@ -133,6 +133,13 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     Accepts u64 or u32 residues; returns the INPUT dtype (the y products run
     in u32 Montgomery either way — u64 lanes are emulated on TPU)."""
     from ..ops import modops32
+    from ..ops.ntt import _pallas_ok
+    if all(_pallas_ok(q, 128) for q in src + dst):
+        # single kernel: mont ys + fixed-point alpha + contraction, one
+        # HBM read of x and one write of the result (ops/ext_pallas)
+        from ..ops import ext_pallas
+        return ext_pallas.base_extend_fused(x, src, dst, centered=centered
+                                            ).astype(x.dtype)
     b = _basis(src)
     tab, smod = _ext_table(src, dst)
     sv32, snq32, _ = (jnp.asarray(c) for c in modops32.consts(src, x.ndim))
@@ -148,11 +155,6 @@ def fast_base_extend(x, src: tuple, dst: tuple, centered: bool = False):
     tsum = jnp.sum(ys.astype(jnp.uint64) * cfix, axis=0)       # [..., n]
     half = jnp.uint64(1 << 58) if centered else jnp.uint64(0)
     alpha = ((tsum + half) >> jnp.uint64(59)).astype(jnp.uint32)
-    from ..ops.ntt import _pallas_ok
-    if all(_pallas_ok(q, 128) for q in src + dst):
-        from ..ops import ext_pallas
-        return ext_pallas.base_extend_sum(ys, alpha, src, dst
-                                          ).astype(x.dtype)
     # XLA fallback (CPU): out_j = Σ_i (y_i · tab[i,j]) − α·S (mod d_j).
     # Accumulate in pairs of raw u64 products (2·2^62 < 2^64) with one
     # Barrett per pair — avoids the full [Ls, Ld, ...] product tensor.

@@ -1,15 +1,22 @@
-"""Fused Pallas kernel for the RNS fast base extension (HPS conversion).
+"""Fused Pallas kernels for the RNS fast base extension (HPS conversion).
 
 After the NTTs, base extension is the RNS stack's hottest op: for every
 coefficient, out_j = Σ_i y_i·tab[i,j] − α·(S mod d_j)  (mod d_j) over all
 (src × dst) prime pairs.  The XLA path streams several [Ls or Ld, B, n]
-tensors through HBM per step; this kernel reads the y-block ONCE and runs the
-whole (Ls × Ld) contraction in VMEM with u32 Montgomery arithmetic (tables
-pre-lifted to each destination's Montgomery domain — every product is ~15 VPU
-ops, no 64-bit emulation).
+tensors through HBM per step; these kernels read the residue block ONCE and
+run the whole (Ls × Ld) contraction in VMEM with u32 Montgomery arithmetic
+(tables pre-lifted to each destination's Montgomery domain — every product
+is ~15 VPU ops, no 64-bit emulation).
 
-The α term (floor/round of Σ y_i/s_i) needs f64 and stays in XLA (cheap,
-elementwise); the kernel consumes it as a u32 input.
+Two entry points:
+  * base_extend_fused — the WHOLE conversion in one kernel: the Montgomery
+    products y_i = [x_i·Q̂_i^{-1}]_{s_i}, the α = floor/round(Σ y_i/s_i)
+    in 2^59 fixed point on u32 limb pairs (models/bfv_rns.py documents the
+    exactness margins), and the contraction.  x in, out out — nothing else
+    touches HBM (the XLA path round-trips ys and runs the α sum on
+    EMULATED u64 lanes).
+  * base_extend_sum — contraction only, for callers that already hold
+    (ys, α) (hybrid_ks reuses ys across hoisted rotations).
 """
 
 from functools import lru_cache, partial
@@ -20,7 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ntt_pallas import _mont_mul, _addmod, _submod, _mont32_consts, _on_tpu
+from .ntt_pallas import (_mont_mul, _addmod, _submod, _mont32_consts,
+                         _mul32_wide, _on_tpu)
 
 U32 = jnp.uint32
 LANE_TILE = 2048  # coefficients per block (the op is fully per-coefficient)
@@ -54,6 +62,85 @@ def _ext_kernel(ys_ref, alpha_ref, out_ref, *, src, dst, tab, smod, nqinv):
             acc = _addmod(acc, term, d)
         corr = _mont_mul(al, U32(int(smod[j])), d, nq)
         out_ref[j] = _submod(acc, corr, d)
+
+
+def _ext_fused_kernel(x_ref, out_ref, *, src, dst, tab, smod, nqinv,
+                      him, snq, cfix, centered):
+    """Whole conversion: y_i = mont(x_i, Q̂_i^{-1}·2^32); α = Σ y_i·⌊2^59/s_i⌋
+    (u32 limb pairs, < Ls·2^59 < 2^64; truncation ≤ Ls·2^-28 — see
+    models/bfv_rns.fast_base_extend for the exactness margins), rounded when
+    centered; then the (Ls × Ld) Montgomery contraction."""
+    ys = []
+    tlo = None
+    thi = None
+    for i, s in enumerate(src):
+        y = _mont_mul(x_ref[i], U32(int(him[i])), s, int(snq[i]))
+        ys.append(y)
+        hi, lo = _mul32_wide(y, U32(int(cfix[i])))   # y·⌊2^59/s⌋ < 2^62
+        if tlo is None:
+            tlo, thi = lo, hi
+        else:
+            nlo = tlo + lo
+            thi = thi + hi + (nlo < lo).astype(U32)
+            tlo = nlo
+    if centered:                                     # + 2^58 (hi limb 2^26)
+        thi = thi + U32(1 << 26)                     # no lo carry: add to hi
+    al = thi >> U32(27)                              # floor(tsum / 2^59)
+    for j, d in enumerate(dst):
+        nq = int(nqinv[j])
+        acc = _mont_mul(ys[0], U32(int(tab[0, j])), d, nq)
+        for i in range(1, len(src)):
+            term = _mont_mul(ys[i], U32(int(tab[i, j])), d, nq)
+            acc = _addmod(acc, term, d)
+        corr = _mont_mul(al, U32(int(smod[j])), d, nq)
+        out_ref[j] = _submod(acc, corr, d)
+
+
+def base_extend_fused(x, src: tuple, dst: tuple, centered: bool = False,
+                      interpret: bool | None = None):
+    """x: [Ls, ..., n] residues (< s_i < 2^31, u32/u64) -> [Ld, ..., n] u32:
+    the complete HPS conversion in one kernel pass."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    tab, smod, nqinv = _ext_consts(src, dst)
+    him = [(pow(_hat(src, i), -1, s) << 32) % s for i, s in enumerate(src)]
+    snq = [_mont32_consts(s)[0] for s in src]
+    cfix = [(1 << 59) // s for s in src]
+    Ls, Ld = len(src), len(dst)
+    batch = x.shape[1:]
+    total = int(np.prod(batch))
+    x32 = x.reshape(Ls, total).astype(U32)
+    tile = LANE_TILE
+    pad = (-total) % tile
+    if pad:
+        x32 = jnp.pad(x32, ((0, 0), (0, pad)))
+    m = x32.shape[1]
+    kern = partial(_ext_fused_kernel, src=src, dst=dst, tab=tab, smod=smod,
+                   nqinv=nqinv, him=him, snq=snq, cfix=cfix,
+                   centered=centered)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Ld, m), jnp.uint32),
+        grid=(m // tile,),
+        in_specs=[
+            pl.BlockSpec((Ls, tile), lambda i: (i * 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Ld, tile), lambda i: (i * 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x32)
+    if pad:
+        out = out[:, :total]
+    return out.reshape((Ld,) + batch)     # u32; caller casts as needed
+
+
+@lru_cache(maxsize=None)
+def _hat(src: tuple, i: int) -> int:
+    S = 1
+    for s in src:
+        S *= s
+    return (S // src[i]) % src[i]
 
 
 def base_extend_sum(ys, alpha, src: tuple, dst: tuple,

@@ -145,3 +145,22 @@ def test_base_extend_centered_boundary_exact():
     out = np.asarray(fast_base_extend(x, src, dst, centered=True))
     for j, d in enumerate(dst):
         np.testing.assert_array_equal(out[j], [v % d for v in vals])
+
+
+def test_base_extend_fused_kernel_parity():
+    """ext_pallas.base_extend_fused (interpret mode) == the XLA
+    fast_base_extend path, bit-exact, both interpretations — including the
+    in-kernel u32-limb-pair fixed-point alpha."""
+    from fhe_study_tpu.models.bfv_rns import fast_base_extend
+    from fhe_study_tpu.ops import ext_pallas
+    from fhe_study_tpu.ops.primes import ntt_primes
+    src = ntt_primes(4, 30, 1 << 16)
+    dst = ntt_primes(5, 30, 1 << 16, skip=4)
+    rng = np.random.default_rng(3)
+    x = jnp.stack([jnp.asarray(rng.integers(0, p, (2, 3, 256)), jnp.uint64)
+                   for p in src], 0)
+    for centered in (False, True):
+        want = np.asarray(fast_base_extend(x, src, dst, centered=centered))
+        got = np.asarray(ext_pallas.base_extend_fused(
+            x, src, dst, centered=centered, interpret=True))
+        np.testing.assert_array_equal(got, want.astype(np.uint32))
