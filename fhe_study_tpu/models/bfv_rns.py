@@ -370,16 +370,24 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     # interpretation; r is signed & small -> centered extension back to Q.
     # All in u32 Montgomery (constants pre-lifted host-side).
     Q = _basis(qs).prod
-    mont = lambda v, q: (int(v % q) << 32) % q  # noqa: E731
-    qinvm = jnp.asarray(np.array([mont(pow(Q, -1, p), p) for p in ps],
-                                 np.uint32))
-    nd = dall_parts[0].ndim
-    pv32, nq32p, _ = (jnp.asarray(c) for c in modops32.consts(ps, nd))
+    qinv = tuple(pow(Q, -1, p) for p in ps)
     # w = t*v came out of the INTTs directly (scale folding above)
     w_q, w_p = dall_parts
-    wq_in_p = fast_base_extend(w_q, qs, ps)
-    r_p = modops32.mont_mul(modops32.submod(w_p, wq_in_p, pv32),
-                            qinvm.reshape(pv32.shape), pv32, nq32p)
+    from ..ops.ntt import _pallas_ok
+    if all(_pallas_ok(q, 128) for q in both):
+        # extension + (w_p − ·)·Q^{-1} epilogue in ONE kernel pass
+        from ..ops import ext_pallas
+        r_p = ext_pallas.base_extend_fused(w_q, qs, ps, w=w_p,
+                                           sub_mul=qinv)
+    else:
+        mont = lambda v, q: (int(v % q) << 32) % q  # noqa: E731
+        qinvm = jnp.asarray(np.array([mont(v, p) for v, p in
+                                      zip(qinv, ps)], np.uint32))
+        nd = dall_parts[0].ndim
+        pv32, nq32p, _ = (jnp.asarray(c) for c in modops32.consts(ps, nd))
+        wq_in_p = fast_base_extend(w_q, qs, ps)
+        r_p = modops32.mont_mul(modops32.submod(w_p, wq_in_p, pv32),
+                                qinvm.reshape(pv32.shape), pv32, nq32p)
     out3 = fast_base_extend(r_p, ps, qs, centered=True)
     return [out3[..., i, :] for i in range(3)]
 

@@ -64,12 +64,20 @@ def _ext_kernel(ys_ref, alpha_ref, out_ref, *, src, dst, tab, smod, nqinv):
         out_ref[j] = _submod(acc, corr, d)
 
 
-def _ext_fused_kernel(x_ref, out_ref, *, src, dst, tab, smod, nqinv,
-                      him, snq, cfix, centered):
+def _ext_fused_kernel(x_ref, *refs, src, dst, tab, smod, nqinv,
+                      him, snq, cfix, centered, sub_mul):
     """Whole conversion: y_i = mont(x_i, Q̂_i^{-1}·2^32); α = Σ y_i·⌊2^59/s_i⌋
     (u32 limb pairs, < Ls·2^59 < 2^64; truncation ≤ Ls·2^-28 — see
     models/bfv_rns.fast_base_extend for the exactness margins), rounded when
-    centered; then the (Ls × Ld) Montgomery contraction."""
+    centered; then the (Ls × Ld) Montgomery contraction.
+
+    sub_mul epilogue (the BFV t/Q scaling step, bfv_rns._tensor):
+    out_j = (w_j − ext_j) · c_j  with w an extra [Ld, tile] input and c_j a
+    Montgomery-lifted per-dst constant."""
+    if sub_mul is None:
+        (out_ref,) = refs
+    else:
+        w_ref, out_ref = refs
     ys = []
     tlo = None
     thi = None
@@ -93,13 +101,23 @@ def _ext_fused_kernel(x_ref, out_ref, *, src, dst, tab, smod, nqinv,
             term = _mont_mul(ys[i], U32(int(tab[i, j])), d, nq)
             acc = _addmod(acc, term, d)
         corr = _mont_mul(al, U32(int(smod[j])), d, nq)
-        out_ref[j] = _submod(acc, corr, d)
+        ext = _submod(acc, corr, d)
+        if sub_mul is None:
+            out_ref[j] = ext
+        else:
+            out_ref[j] = _mont_mul(_submod(w_ref[j], ext, d),
+                                   U32(int(sub_mul[j])), d, nq)
 
 
 def base_extend_fused(x, src: tuple, dst: tuple, centered: bool = False,
+                      w=None, sub_mul: tuple | None = None,
                       interpret: bool | None = None):
     """x: [Ls, ..., n] residues (< s_i < 2^31, u32/u64) -> [Ld, ..., n] u32:
-    the complete HPS conversion in one kernel pass."""
+    the complete HPS conversion in one kernel pass.
+
+    With (w, sub_mul): returns (w_j − ext_j(x)) · sub_mul[j] mod d_j instead
+    (sub_mul plain-domain per-dst constants, lifted here) — the fused t/Q
+    scaling step of the BFV tensor."""
     if interpret is None:
         interpret = not _on_tpu()
     tab, smod, nqinv = _ext_consts(src, dst)
@@ -115,21 +133,31 @@ def base_extend_fused(x, src: tuple, dst: tuple, centered: bool = False,
     if pad:
         x32 = jnp.pad(x32, ((0, 0), (0, pad)))
     m = x32.shape[1]
+    args = [x32]
+    in_specs = [pl.BlockSpec((Ls, tile), lambda i: (i * 0, i),
+                             memory_space=pltpu.VMEM)]
+    sm = None
+    if sub_mul is not None:
+        assert w is not None and w.shape == (Ld,) + batch
+        sm = [(int(c) << 32) % d for c, d in zip(sub_mul, dst)]
+        w32 = w.reshape(Ld, total).astype(U32)
+        if pad:
+            w32 = jnp.pad(w32, ((0, 0), (0, pad)))
+        args.append(w32)
+        in_specs.append(pl.BlockSpec((Ld, tile), lambda i: (i * 0, i),
+                                     memory_space=pltpu.VMEM))
     kern = partial(_ext_fused_kernel, src=src, dst=dst, tab=tab, smod=smod,
                    nqinv=nqinv, him=him, snq=snq, cfix=cfix,
-                   centered=centered)
+                   centered=centered, sub_mul=sm)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Ld, m), jnp.uint32),
         grid=(m // tile,),
-        in_specs=[
-            pl.BlockSpec((Ls, tile), lambda i: (i * 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((Ld, tile), lambda i: (i * 0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x32)
+    )(*args)
     if pad:
         out = out[:, :total]
     return out.reshape((Ld,) + batch)     # u32; caller casts as needed

@@ -164,3 +164,27 @@ def test_base_extend_fused_kernel_parity():
         got = np.asarray(ext_pallas.base_extend_fused(
             x, src, dst, centered=centered, interpret=True))
         np.testing.assert_array_equal(got, want.astype(np.uint32))
+
+
+def test_base_extend_sub_mul_epilogue_parity():
+    """base_extend_fused's (w − ext)·c epilogue == the unfused XLA sequence
+    (the BFV t/Q scaling step)."""
+    from fhe_study_tpu.models.bfv_rns import fast_base_extend
+    from fhe_study_tpu.ops import ext_pallas, modops32
+    from fhe_study_tpu.ops.primes import ntt_primes
+    src = ntt_primes(3, 30, 1 << 16)
+    dst = ntt_primes(4, 30, 1 << 16, skip=3)
+    rng = np.random.default_rng(5)
+    x = jnp.stack([jnp.asarray(rng.integers(0, p, (2, 256)), jnp.uint64)
+                   for p in src], 0)
+    w = jnp.stack([jnp.asarray(rng.integers(0, p, (2, 256)), jnp.uint64)
+                   for p in dst], 0)
+    c = tuple(int(v) for v in rng.integers(1, min(dst), len(dst)))
+    ext = fast_base_extend(x, src, dst).astype(jnp.uint64)
+    dv = jnp.asarray(np.array(dst, np.uint64)).reshape(4, 1, 1)
+    want = ((w + dv - ext) % dv *
+            jnp.asarray(np.array(c, np.uint64)).reshape(4, 1, 1)) % dv
+    got = ext_pallas.base_extend_fused(x, src, dst, w=w, sub_mul=c,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(want).astype(np.uint32))
