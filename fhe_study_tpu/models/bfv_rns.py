@@ -352,19 +352,17 @@ def _tensor(param: RnsParam, x: CT, y: CT):
     # emulates u64 lanes in 32-bit pairs on TPU (~10x cost), and the Pallas/
     # MXU transforms preserve the u32 dtype end-to-end.
     from ..ops import modops32
-    # all four operands extended AND transformed in batched passes
-    # ([L, B.., 4, n] — operand axis second-minor so the fused kernel can
-    # tile it whole); the Q and P limb groups stay SPLIT end-to-end —
-    # a fused [L+M, ...] layout would cost two full-array concat copies
-    # (~1.2 GB of pure HBM traffic per mul at N=2^14, B=64)
-    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=-2).astype(jnp.uint32)
-    # the whole transform pipeline (4 fwd NTT -> 3 pointwise products ->
-    # 3 INTT, t scaling folded into the epilogue) is ONE fused kernel per
-    # basis: w = t*v comes out directly, 4-read/3-write HBM total
+    # the whole transform pipeline (extension prologue where needed -> 4
+    # fwd NTT -> 3 pointwise products -> 3 INTT, t scaling folded into the
+    # epilogue) is ONE fused kernel per basis: w = t*v comes out directly,
+    # four separate operand inputs (no host-side stack copy), and the
+    # P-basis kernel extends Q->P in its prologue (the extended operands
+    # never touch HBM).  The Q and P limb groups stay SPLIT end-to-end — a
+    # fused [L+M, ...] layout would cost two full-array concat copies.
+    ops4 = (x.c0, x.c1, y.c0, y.c1)
     dall_parts = [
-        ntt.tensor_mul_multi(four, qs, scale=(param.t,) * len(qs)),
-        ntt.tensor_mul_multi(fast_base_extend(four, qs, ps), ps,
-                             scale=(param.t,) * len(ps))]
+        ntt.tensor_mul4(*ops4, qs, scale=(param.t,) * len(qs)),
+        ntt.tensor_mul4(*ops4, ps, scale=(param.t,) * len(ps), src=qs)]
     # 2. r = floor(t·v/Q): [w]_Q is the UNSIGNED remainder (w − [w]_Q =
     # Q·floor(w/Q), exact for signed w too) -> extend with the [0,Q)
     # interpretation; r is signed & small -> centered extension back to Q.

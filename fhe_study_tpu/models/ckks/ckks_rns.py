@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ...ops import modops
 from ...ops.ntt import (ntt_multi, intt_multi, mulmod_v, _qvec, _addmod_v,
-                        _submod_v, barrett_muv, tensor_mul_multi)
+                        _submod_v, barrett_muv, tensor_mul4)
 from ...ops.primes import ntt_primes
 from ...utils import prng
 from ..bfv_rns import _to_residues, _bcast_mid
@@ -191,8 +191,7 @@ def mul_hybrid(param: Param, hrlk, x: CT, y: CT):
     with L-1 limbs and scale delta^2 / q_last."""
     from .. import hybrid_ks
     qs = param.qs
-    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=-2).astype(jnp.uint32)
-    d = tensor_mul_multi(four, qs)          # one fused kernel (see ops/ntt)
+    d = tensor_mul4(x.c0, x.c1, y.c0, y.c1, qs)  # one fused kernel (ops/ntt)
     d0, d1, d2 = d[..., 0, :], d[..., 1, :], d[..., 2, :]
     sw = hybrid_ks.hybrid_key_switch(
         param, hrlk, CT(d0.astype(U64), d2.astype(U64)))
@@ -230,8 +229,7 @@ def mul(param: Param, rlk, x: CT, y: CT):
     multiplies mod Q directly and divides by ONE prime."""
     from .. import bfv_rns
     qs = param.qs
-    four = jnp.stack([x.c0, x.c1, y.c0, y.c1], axis=-2).astype(jnp.uint32)
-    d = tensor_mul_multi(four, qs)          # one fused kernel (see ops/ntt)
+    d = tensor_mul4(x.c0, x.c1, y.c0, y.c1, qs)  # one fused kernel (ops/ntt)
     d0, d1, d2 = d[..., 0, :], d[..., 1, :], d[..., 2, :]
     bp = _bfv_param(param)
     ct = bfv_rns.relinearize(bp, rlk, d0, d1, d2)

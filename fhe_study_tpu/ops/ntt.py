@@ -360,6 +360,28 @@ def tensor_mul_multi(x4, qs: tuple, scale: tuple | None = None):
     return intt_multi(prods, qs, scale=sc)
 
 
+def tensor_mul4(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
+                src: tuple | None = None):
+    """tensor_mul_multi from four SEPARATE operand arrays.
+
+    On TPU this is one fused kernel per basis with no host-side operand
+    stack; with src given, the kernel also runs the unsigned HPS extension
+    src->dst in its prologue (the extended operands never exist in HBM).
+    Fallback: stack + (extend +) tensor_mul_multi."""
+    n = x0.shape[-1]
+    if n > 1 and all(_pallas_ok(p, n) for p in dst + (src or ())):
+        from . import ntt_pallas
+        return ntt_pallas.tensor_mul4_u32(
+            x0.astype(jnp.uint32), x1.astype(jnp.uint32),
+            y0.astype(jnp.uint32), y1.astype(jnp.uint32),
+            dst, scale=scale, src=src)
+    four = jnp.stack([x0, x1, y0, y1], axis=-2).astype(jnp.uint32)
+    if src is not None:
+        from ..models.bfv_rns import fast_base_extend
+        four = fast_base_extend(four, src, dst)
+    return tensor_mul_multi(four, dst, scale=scale)
+
+
 def _key_mid(k, ndim: int):
     """Align [R, Lp, n] key material against [R, Lp, batch.., n] digits."""
     if k.ndim == 3:

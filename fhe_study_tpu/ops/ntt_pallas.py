@@ -367,17 +367,13 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
 # arith/src/ntt.rs:44-110; the degree-2 tensor: bfv/src/lib.rs:59-85.)
 # ---------------------------------------------------------------------------
 
-def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb):
-    # layouts put the operand axis SECOND-MINOR ([.., bb, 4, n]): Mosaic
-    # requires tiled (last-two) block dims divisible by (8, 128) or full —
-    # a full-size operand axis there leaves the batch block size bb free
-    q = consts_ref[0, pl.program_id(0)]
-    fin = consts_ref[1, pl.program_id(0)]      # n^-1 * R * scale (R cancels
-    fin_sh = consts_ref[2, pl.program_id(0)]   # the mont product's R^-1)
-    nqinv = consts_ref[3, pl.program_id(0)]
+def _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, *, n, bb):
+    """Shared degree-2 tensor body: 4 CT forwards (stacked), the 3 pointwise
+    products, 3 GS inverses, and the fin (= n^-1·R·scale) epilogue.
+    x: [4*bb, rows, LANES] (bb-major), coefficient domain, canonical mod q
+    (q/fin/fin_sh/nqinv traced scalars).  Returns [3*bb, rows, LANES]."""
     rows = n // LANES
     logn = n.bit_length() - 1
-    x = x_ref[...].reshape(4 * bb, rows, LANES)
     for s in range(logn):                      # CT forward, all 4 at once
         t = n >> (s + 1)
         tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
@@ -402,8 +398,69 @@ def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb):
         diff = _submod_dyn(y, x, q)
         x = jnp.where(first, _addmod_dyn(x, y, q),
                       _shoup_mul(diff, tw, twp, q))
-    x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
-                   jnp.full_like(x, 1) * fin_sh, q)
+    return _shoup_mul(x, jnp.full_like(x, 1) * fin,
+                      jnp.full_like(x, 1) * fin_sh, q)
+
+
+def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb):
+    # layouts put the operand axis SECOND-MINOR ([.., bb, 4, n]): Mosaic
+    # requires tiled (last-two) block dims divisible by (8, 128) or full —
+    # a full-size operand axis there leaves the batch block size bb free
+    q = consts_ref[0, pl.program_id(0)]
+    fin = consts_ref[1, pl.program_id(0)]      # n^-1 * R * scale (R cancels
+    fin_sh = consts_ref[2, pl.program_id(0)]   # the mont product's R^-1)
+    nqinv = consts_ref[3, pl.program_id(0)]
+    rows = n // LANES
+    x = x_ref[...].reshape(4 * bb, rows, LANES)
+    x = _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, n=n, bb=bb)
+    o_ref[...] = x.reshape(1, bb, 3, n)
+
+
+def _tensor4_kernel(consts_ref, x0_ref, x1_ref, y0_ref, y1_ref, tw_ref,
+                    o_ref, *, n, bb, src, him, snq, cfix):
+    """Tensor product from FOUR separate operand arrays (no host-side stack
+    copy).  src=None: operands are this prime's own residue rows.
+    src=(...): operand blocks carry ALL Ls source-basis rows and the kernel
+    runs the HPS extension to this dst prime in its prologue (tab/smod ride
+    the scalar-prefetch consts; ys/alpha math identical to
+    ext_pallas._ext_fused_kernel, unsigned interpretation)."""
+    j = pl.program_id(0)
+    q = consts_ref[0, j]
+    fin = consts_ref[1, j]
+    fin_sh = consts_ref[2, j]
+    nqinv = consts_ref[3, j]
+    rows = n // LANES
+    refs = (x0_ref, x1_ref, y0_ref, y1_ref)
+    if src is None:
+        x = jnp.concatenate(
+            [r[...].reshape(bb, 1, rows, LANES) for r in refs],
+            axis=1).reshape(4 * bb, rows, LANES)
+    else:
+        Ls = len(src)
+        xin = jnp.concatenate(
+            [r[...].reshape(Ls, bb, 1, rows, LANES) for r in refs],
+            axis=2)                            # [Ls, bb, 4, rows, LANES]
+        ys = []
+        tlo = None
+        thi = None
+        for i, s_p in enumerate(src):
+            y = _mont_mul(xin[i], U32(int(him[i])), s_p, int(snq[i]))
+            ys.append(y)
+            hi, lo = _mul32_wide(y, U32(int(cfix[i])))
+            if tlo is None:
+                tlo, thi = lo, hi
+            else:
+                nlo = tlo + lo
+                thi = thi + hi + (nlo < lo).astype(U32)
+                tlo = nlo
+        al = thi >> U32(27)                    # floor α, unsigned contract
+        acc = None
+        for i in range(Ls):
+            term = _mont_mul_dyn(ys[i], consts_ref[4 + i, j], q, nqinv)
+            acc = term if acc is None else _addmod_dyn(acc, term, q)
+        corr = _mont_mul_dyn(al, consts_ref[4 + Ls, j], q, nqinv)
+        x = _submod_dyn(acc, corr, q).reshape(4 * bb, rows, LANES)
+    x = _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, n=n, bb=bb)
     o_ref[...] = x.reshape(1, bb, 3, n)
 
 
@@ -472,6 +529,93 @@ def tensor_mul_u32(x4, qs: tuple, scale: tuple | None = None,
         interpret=interpret,
     )(jnp.asarray(cons), xb, jnp.asarray(tw))
     return out.reshape((L,) + batch + (3, n))
+
+
+@lru_cache(maxsize=None)
+def _tensor4_consts(dst: tuple, n: int, scale: tuple | None,
+                    src: tuple | None):
+    """[4 (+Ls+1 when extending), Ld] scalar-prefetch table: q, fin, fin_sh,
+    nqinv per dst prime, plus Montgomery-lifted extension tab rows and
+    S mod d (matching ext_pallas._ext_consts)."""
+    Ls = 0 if src is None else len(src)
+    cons = np.zeros((4 + (Ls + 1 if src else 0), len(dst)), np.uint32)
+    S = 1
+    for s in (src or ()):
+        S *= s
+    for j, q in enumerate(dst):
+        ninv = int(_stage_tables(q, n)[2][0])
+        s = 1 if scale is None else int(scale[j]) % q
+        f = (ninv * ((1 << 32) % q) % q) * s % q
+        cons[0, j] = q
+        cons[1, j] = f
+        cons[2, j] = (f << 32) // q
+        cons[3, j] = _mont32_consts(q)[0]
+        if src:
+            for i, sp in enumerate(src):
+                cons[4 + i, j] = ((S // sp) % q << 32) % q
+            cons[4 + Ls, j] = (S % q << 32) % q
+    return cons
+
+
+def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
+                    src: tuple | None = None,
+                    interpret: bool | None = None):
+    """Degree-2 tensor product from four SEPARATE operand arrays.
+
+    src=None: operands are [Ld, ..., n] residues mod dst[j] (row j feeds
+    prime j).  src=(...): operands are [Ls, ..., n] residues over the
+    source basis and each dst-prime step extends them in-kernel (the
+    unsigned HPS conversion — bfv_rns.fast_base_extend semantics) before
+    transforming: the extended operands never exist in HBM.
+    Returns [Ld, ..., 3, n] = scale * (x0·y0, x0·y1 + x1·y0, x1·y1)."""
+    n = x0.shape[-1]
+    Ld = len(dst)
+    rows_in = x0.shape[0]
+    assert rows_in == (Ld if src is None else len(src))
+    assert n >= LANES and n % LANES == 0
+    batch = x0.shape[1:-1]
+    ins = [a.reshape((rows_in, -1, n)).astype(jnp.uint32)
+           for a in (x0, x1, y0, y1)]
+    B = ins[0].shape[1]
+    # extension variant holds all Ls rows of all 4 operands resident
+    budget = (1 << 19) if src is None else (1 << 18)
+    bb = max(1, min(B, budget // (4 * n * 4)))
+    while B % bb:
+        bb -= 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    cons = _tensor4_consts(dst, n, scale, src)
+    tw = _dual_tw(dst, n)
+    logn = n.bit_length() - 1
+    if src is None:
+        him = snq = cfix = None
+        x_spec = pl.BlockSpec((1, bb, n), lambda p, i, *_: (p, i, 0 * p))
+    else:
+        him = tuple((pow((int(np.prod(np.array(src, object))) // s) % s,
+                         -1, s) << 32) % s for s in src)
+        snq = tuple(_mont32_consts(s)[0] for s in src)
+        cfix = tuple((1 << 59) // s for s in src)
+        x_spec = pl.BlockSpec((rows_in, bb, n),
+                              lambda p, i, *_: (0 * p, i, 0 * p))
+    kern = partial(_tensor4_kernel, n=n, bb=bb, src=src, him=him, snq=snq,
+                   cfix=cfix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Ld, B // bb),
+        in_specs=[x_spec] * 4 + [
+            pl.BlockSpec((1, 2, 2, logn, n),
+                         lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
+        ],
+        out_specs=pl.BlockSpec((1, bb, 3, n),
+                               lambda p, i, *_: (p, i, 0 * p, 0 * p)),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Ld, B, 3, n), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(cons), *ins, jnp.asarray(tw))
+    return out.reshape((Ld,) + batch + (3, n))
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,33 @@ def test_pallas_ks_fused_and_hoisted():
                                   np.asarray(want0))
     np.testing.assert_array_equal(np.asarray(f1).astype(np.uint64),
                                   np.asarray(want1))
+
+
+def test_pallas_tensor_mul4_and_ext_variant():
+    """tensor_mul4_u32 (four separate operand inputs) == tensor_mul_u32 on
+    the stacked layout; the src= variant == extend-then-multiply."""
+    from fhe_study_tpu.ops.primes import ntt_primes
+    qs = ntt_primes(3, 30, 1 << 12)
+    ps = ntt_primes(4, 30, 1 << 12, skip=3)
+    n, B = 256, 2
+    rng = np.random.default_rng(17)
+    ops4 = [jnp.asarray(np.stack([rng.integers(0, q, (B, n)) for q in qs])
+                        .astype(np.uint32)) for _ in range(4)]
+    x4 = jnp.stack(ops4, axis=-2)
+    want = np.asarray(ntt_pallas.tensor_mul_u32(x4, qs, interpret=True))
+    got = np.asarray(ntt_pallas.tensor_mul4_u32(*ops4, qs, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    # extension variant vs fast_base_extend + tensor
+    from fhe_study_tpu.models.bfv_rns import fast_base_extend
+    ext4 = fast_base_extend(x4.astype(jnp.uint64), qs, ps).astype(jnp.uint32)
+    want_p = np.asarray(ntt_pallas.tensor_mul_u32(ext4, ps, interpret=True))
+    got_p = np.asarray(ntt_pallas.tensor_mul4_u32(*ops4, ps, src=qs,
+                                                  interpret=True))
+    np.testing.assert_array_equal(got_p, want_p)
+    # scaled
+    sc = tuple(int(p - 11) for p in ps)
+    want_s = np.asarray(ntt_pallas.tensor_mul_u32(ext4, ps, scale=sc,
+                                                  interpret=True))
+    got_s = np.asarray(ntt_pallas.tensor_mul4_u32(*ops4, ps, scale=sc,
+                                                  src=qs, interpret=True))
+    np.testing.assert_array_equal(got_s, want_s)
