@@ -60,7 +60,20 @@ def _evals_over(param, s_coeffs, primes: tuple):
     return ntt_multi(_to_residues(s_coeffs, primes), primes)
 
 
+@lru_cache(maxsize=None)
+def _hybrid_ksk_jit(param, K: int):
+    return jax.jit(
+        lambda key, so, sn: _hybrid_ksk_impl(key, param, so, sn, K=K))
+
+
 def hybrid_ksk(key, param, s_old_evals, s_new_evals, K: int = 2) -> HybridKSK:
+    """jit-cached per (param, K): key-set builders call this dozens of
+    times; eager per-op dispatch on the CPU backend dominates otherwise."""
+    return _hybrid_ksk_jit(param, K)(key, s_old_evals, s_new_evals)
+
+
+def _hybrid_ksk_impl(key, param, s_old_evals, s_new_evals,
+                     K: int = 2) -> HybridKSK:
     """Row i encrypts P * g_i * s_old under s_new over basis Q u P
     (g_i = the RNS gadget of bfv_rns.ksk_key; P*g_i == 0 mod every p_j)."""
     qs = param.qs
@@ -178,14 +191,30 @@ def hybrid_key_switch(param, hksk: HybridKSK, c) -> "bfv_rns.CT":
 
 # -- Galois integration ------------------------------------------------------
 
+@lru_cache(maxsize=None)
+def _galois_key_jit(param, K: int):
+    """ONE compile per (param, K), reused for every rotation index: the
+    Galois map rides in as (src, neg) table operands.  Building the full
+    C2S/S2C rotation-key set eagerly costs minutes of per-op dispatch on
+    the CPU backend (~50 keys x hundreds of tiny XLA calls); jitted, each
+    key is one call."""
+    from . import galois
+
+    def build(key, s_evals, src, neg):
+        qs = param.qs
+        s_coeffs_res = intt_multi(s_evals, qs)
+        sg = galois.apply_galois_tab(s_coeffs_res, src, neg, qs)
+        return hybrid_ksk(key, param, ntt_multi(sg, qs), s_evals, K=K)
+
+    return jax.jit(build)
+
+
 def galois_key_hybrid(key, param, sk, g: int, K: int = 2) -> HybridKSK:
     """Hybrid Galois key: phi_g(s) -> s with P-suppressed noise."""
     from . import galois
-    qs = param.qs
-    s_coeffs_res = intt_multi(sk.s_evals[: param.L], qs)
-    sg = galois.apply_galois(s_coeffs_res, g, qs)
-    return hybrid_ksk(key, param, ntt_multi(sg, qs), sk.s_evals[: param.L],
-                      K=K)
+    src, neg = galois.galois_map(param.n, g)
+    return _galois_key_jit(param, K)(
+        key, sk.s_evals[: param.L], jnp.asarray(src), jnp.asarray(neg))
 
 
 def rotate_hybrid(param, hgk: HybridKSK, ct, g: int):

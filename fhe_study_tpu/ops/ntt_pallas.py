@@ -431,6 +431,9 @@ def _tensor4_kernel(consts_ref, x0_ref, x1_ref, y0_ref, y1_ref, tw_ref,
     nqinv = consts_ref[3, j]
     rows = n // LANES
     refs = (x0_ref, x1_ref, y0_ref, y1_ref)
+    # input blocks carry a dummy second-minor axis: Mosaic constrains the
+    # LAST TWO block dims to (8k, 128k) or full-size — (1, n) is full-size,
+    # leaving bb free on an unconstrained axis
     if src is None:
         x = jnp.concatenate(
             [r[...].reshape(bb, 1, rows, LANES) for r in refs],
@@ -574,7 +577,7 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
     assert rows_in == (Ld if src is None else len(src))
     assert n >= LANES and n % LANES == 0
     batch = x0.shape[1:-1]
-    ins = [a.reshape((rows_in, -1, n)).astype(jnp.uint32)
+    ins = [a.reshape((rows_in, -1, 1, n)).astype(jnp.uint32)
            for a in (x0, x1, y0, y1)]
     B = ins[0].shape[1]
     # extension variant holds all Ls rows of all 4 operands resident
@@ -589,14 +592,15 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
     logn = n.bit_length() - 1
     if src is None:
         him = snq = cfix = None
-        x_spec = pl.BlockSpec((1, bb, n), lambda p, i, *_: (p, i, 0 * p))
+        x_spec = pl.BlockSpec((1, bb, 1, n),
+                              lambda p, i, *_: (p, i, 0 * p, 0 * p))
     else:
         him = tuple((pow((int(np.prod(np.array(src, object))) // s) % s,
                          -1, s) << 32) % s for s in src)
         snq = tuple(_mont32_consts(s)[0] for s in src)
         cfix = tuple((1 << 59) // s for s in src)
-        x_spec = pl.BlockSpec((rows_in, bb, n),
-                              lambda p, i, *_: (0 * p, i, 0 * p))
+        x_spec = pl.BlockSpec((rows_in, bb, 1, n),
+                              lambda p, i, *_: (0 * p, i, 0 * p, 0 * p))
     kern = partial(_tensor4_kernel, n=n, bb=bb, src=src, him=him, snq=snq,
                    cfix=cfix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
