@@ -337,12 +337,17 @@ def main():
 
     def _mul_chain(x0, x1, y0, y1, rb, ra):
         # `chain` full multiplies per dispatch, each feeding the next
-        # (in-graph chaining amortizes the ~3 ms per-call tunnel dispatch)
+        # (in-graph chaining amortizes the ~3 ms per-call tunnel dispatch).
+        # First link runs outside the scan: it establishes the carry dtype
+        # (relinearize emits u32 on the fused TPU path, u64 on CPU).
+        first = R.mul(param, R.RLK(rb, ra), R.CT(x0, x1), R.CT(y0, y1))
+
         def body(c, _):
             o = R.mul(param, R.RLK(rb, ra), R.CT(c[0], c[1]),
                       R.CT(y0, y1))
             return (o.c0, o.c1), None
-        (o0, o1), _ = jax.lax.scan(body, (x0, x1), None, length=chain)
+        (o0, o1), _ = jax.lax.scan(body, (first.c0, first.c1), None,
+                                   length=chain - 1)
         return o0, o1
 
     mul_jit = jax.jit(lambda x0, x1, y0, y1, rb, ra: R.mul(

@@ -209,6 +209,12 @@ class CT(NamedTuple):
 
 # -- keys -------------------------------------------------------------------
 
+def _lift(c: CT) -> CT:
+    """CTs may carry u32 components (relinearize's fused kernel emits its
+    native dtype); lift to u64 for the generic vector-mod helpers."""
+    return CT(c.c0.astype(U64), c.c1.astype(U64))
+
+
 def new_key(key, param: RnsParam, batch=()):
     qs, ps = param.qs, param.ps
     both = qs + ps
@@ -292,6 +298,7 @@ def encrypt(key, param: RnsParam, pk: PublicKey, m, batch=()):
 
 def decrypt(param: RnsParam, sk: SecretKey, c: CT):
     """m = round(t·x/Q) mod t via per-limb HPS accumulation (no big ints)."""
+    c = _lift(c)
     qs = param.qs
     bq = _basis(qs)
     qv = _qvec(qs, c.c0.ndim)
@@ -310,11 +317,13 @@ def decrypt(param: RnsParam, sk: SecretKey, c: CT):
 # -- linear ops -------------------------------------------------------------
 
 def add(param: RnsParam, x: CT, y: CT) -> CT:
+    x, y = _lift(x), _lift(y)
     qv = _qvec(param.qs, x.c0.ndim)
     return CT(_addmod_v(x.c0, y.c0, qv), _addmod_v(x.c1, y.c1, qv))
 
 
 def add_pt(param: RnsParam, x: CT, m) -> CT:
+    x = _lift(x)
     qs = param.qs
     delta = _basis(qs).prod // param.t
     qv = _qvec(qs, x.c0.ndim)
@@ -326,6 +335,7 @@ def add_pt(param: RnsParam, x: CT, m) -> CT:
 
 
 def mul_pt(param: RnsParam, x: CT, m) -> CT:
+    x = _lift(x)
     qs = param.qs
     qv = _qvec(qs, x.c0.ndim)
     mv = barrett_muv(qs, x.c0.ndim)
@@ -395,19 +405,28 @@ def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     primes), contracted against the key rows in the NTT domain.
 
     Accepts u64 or u32 inputs (tensor outputs are u32; key_switch passes
-    u64 ciphertext components); returns a u64 CT."""
+    u64 ciphertext components).  Returns the kernel's native u32 CT on the
+    TPU path — every CT consumer lifts dtypes on entry, and keeping the
+    chain in u32 skips a full-array widening pass per multiply."""
     qs = param.qs
     L = param.L
-    c0 = c0.astype(U64)
-    c1 = c1.astype(U64)
-    qv = _qvec(qs, c0.ndim)
     # digits are c2's own limb residues reduced mod each prime — the whole
-    # digit grid + forward NTTs + key contraction + inverse NTTs run as one
-    # fused kernel (ops/ntt.ks_fused_multi); L is a static sanity pin
+    # digit grid + forward NTTs + key contraction + inverse NTTs + the
+    # final (c0+acc0, c1+acc1) adds run as one fused kernel
+    # (ops/ntt.ks_fused_multi); L is a static sanity pin
     assert c2.shape[0] == L
+    import os
+    if os.environ.get("FHE_RELIN_FUSED_ADDS"):
+        # the in-kernel add epilogue measured ~100x SLOWER end-to-end on
+        # the v5e (33 vs 4239 ct-mul/s, cause not yet isolated — see
+        # scripts/bench_ks_adds.py); keep it opt-in until understood
+        r0, r1 = ntt.ks_fused_multi(c2, rlk.b, rlk.a, qs, qs,
+                                    adds=(c0, c1))
+        return CT(r0, r1)
     acc0, acc1 = ntt.ks_fused_multi(c2, rlk.b, rlk.a, qs, qs)
-    r0 = _addmod_v(c0, acc0.astype(U64), qv)
-    r1 = _addmod_v(c1, acc1.astype(U64), qv)
+    qv = _qvec(qs, acc0.ndim)
+    r0 = _addmod_v(c0.astype(U64), acc0.astype(U64), qv)
+    r1 = _addmod_v(c1.astype(U64), acc1.astype(U64), qv)
     return CT(r0, r1)
 
 
@@ -464,6 +483,7 @@ def noise_budget_bits(param: RnsParam, sk: SecretKey, c: CT, m):
     reconstructed by centered 2-limb CRT (valid while |e| < q0·q1/2 ≈ 2^60 —
     far beyond any decryptable noise).  budget = log2(Q/2t) − log2|e|."""
     import math
+    c = _lift(c)
     qs = param.qs
     bq = _basis(qs)
     qv = _qvec(qs, c.c0.ndim)
@@ -492,6 +512,7 @@ def noise_budget_bits(param: RnsParam, sk: SecretKey, c: CT, m):
 def mod_switch_drop(param: RnsParam, c: CT):
     """Drop the last Q prime: c' = (c - [c]_{q_last})·q_last^{-1} — the BFV
     modulus-switch noise-management step (returns ct under L-1 primes)."""
+    c = _lift(c)
     qs = param.qs
     last = qs[-1]
     rest = qs[:-1]

@@ -636,8 +636,12 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
 #                  eval-domain digits shared across rotations, 2018/244 §5).
 # ---------------------------------------------------------------------------
 
-def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, o_ref, *,
-                     n, R, bb, fwd, reps):
+def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, *refs,
+                     n, R, bb, fwd, reps, with_add):
+    if with_add:
+        a0_ref, a1_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
     q = consts_ref[0, pl.program_id(0)]
     fin = consts_ref[1, pl.program_id(0)]
     fin_sh = consts_ref[2, pl.program_id(0)]
@@ -678,6 +682,15 @@ def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, o_ref, *,
                       _shoup_mul(diff, tw, twp, q))
     x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
                    jnp.full_like(x, 1) * fin_sh, q)
+    if with_add:
+        # finished-ciphertext epilogue: out = (c0 + acc0, c1 + acc1) — the
+        # final adds of relinearization (bfv/src/lib.rs:251-271) in-kernel
+        xr2 = x.reshape(bb, 2, rows, LANES)
+        a0 = a0_ref[...].reshape(bb, rows, LANES)
+        a1 = a1_ref[...].reshape(bb, rows, LANES)
+        o0 = _addmod_dyn(xr2[:, 0], a0, q)
+        o1 = _addmod_dyn(xr2[:, 1], a1, q)
+        x = jnp.stack([o0, o1], axis=1).reshape(bb * 2, rows, LANES)
     o_ref[...] = x.reshape(1, bb, 2, n)
 
 
@@ -696,9 +709,10 @@ def _ks_consts(qs: tuple, n: int, fwd: bool):
     return cons
 
 
-def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret):
+def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret, adds=None):
     """Shared pallas_call plumbing.  xb: [B, R, n] (fwd) or [Lp, B, R, n]
-    (hoisted); kbT/kaT: [Lp, R, n].  Returns [Lp, B, 2, n] u32."""
+    (hoisted); kbT/kaT: [Lp, R, n]; adds: optional ([Lp, B, 1, n],) x 2
+    final-add operands.  Returns [Lp, B, 2, n] u32."""
     R = xb.shape[-2]
     n = xb.shape[-1]
     Lp = len(primes)
@@ -717,22 +731,33 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret):
         tw = tw[:, 1:]                         # inverse plane only
     ntw = tw.shape[1]
     logn = n.bit_length() - 1
-    kern = partial(_ks_kernel_multi, n=n, R=R, bb=bb, fwd=fwd, reps=reps)
+    kern = partial(_ks_kernel_multi, n=n, R=R, bb=bb, fwd=fwd, reps=reps,
+                   with_add=adds is not None)
     if fwd:
         x_spec = pl.BlockSpec((bb, R, n), lambda p, i, *_: (i, 0 * p, 0 * p))
     else:
         x_spec = pl.BlockSpec((1, bb, R, n),
                               lambda p, i, *_: (p, i, 0 * p, 0 * p))
+    in_specs = [
+        x_spec,
+        pl.BlockSpec((1, ntw, 2, logn, n),
+                     lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
+        pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
+        pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
+    ]
+    args = [jnp.asarray(cons), xb, jnp.asarray(tw),
+            kbT.astype(jnp.uint32), kaT.astype(jnp.uint32)]
+    if adds is not None:
+        # [Lp, B, 1, n] each; dummy second-minor axis keeps the constrained
+        # last-two block dims full-size
+        a_spec = pl.BlockSpec((1, bb, 1, n),
+                              lambda p, i, *_: (p, i, 0 * p, 0 * p))
+        in_specs += [a_spec, a_spec]
+        args += [adds[0].astype(jnp.uint32), adds[1].astype(jnp.uint32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Lp, B // bb),
-        in_specs=[
-            x_spec,
-            pl.BlockSpec((1, ntw, 2, logn, n),
-                         lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
-            pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
-            pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bb, 2, n),
                                lambda p, i, *_: (p, i, 0 * p, 0 * p)),
     )
@@ -741,15 +766,17 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret):
         out_shape=jax.ShapeDtypeStruct((Lp, B, 2, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(cons), xb, jnp.asarray(tw),
-      kbT.astype(jnp.uint32), kaT.astype(jnp.uint32))
+    )(*args)
 
 
 def ks_fused_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
-                 interpret: bool | None = None):
+                 adds=None, interpret: bool | None = None):
     """c_limbs: [R, ..., n] limb residues (row i < src_primes[i]); kb/ka:
     [R, Lp, n] eval-domain gadget keys mod primes[j].  Returns
-    (r0, r1), each [Lp, ..., n] coeff-domain: r = sum_i [c_i]_{p_j} * k_ij."""
+    (r0, r1), each [Lp, ..., n] coeff-domain: r = sum_i [c_i]_{p_j} * k_ij.
+
+    adds=(c0, c1) ([Lp, ..., n] canonical residues): the kernel epilogue
+    returns (c0 + r0, c1 + r1) — relinearization's final adds in-pass."""
     R = c_limbs.shape[0]
     n = c_limbs.shape[-1]
     Lp = len(primes)
@@ -757,8 +784,10 @@ def ks_fused_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
     batch = c_limbs.shape[1:-1]
     xb = jnp.moveaxis(c_limbs.reshape((R, -1, n)), 0, 1).astype(jnp.uint32)
     reps = (max(src_primes) - 1) // min(primes) + 1
+    if adds is not None:
+        adds = tuple(a.reshape((Lp, -1, 1, n)) for a in adds)
     out = _ks_call(xb, jnp.moveaxis(kb, 0, 1), jnp.moveaxis(ka, 0, 1),
-                   primes, True, reps, interpret)
+                   primes, True, reps, interpret, adds=adds)
     r = out.reshape((Lp,) + batch + (2, n))
     return r[..., 0, :], r[..., 1, :]
 
