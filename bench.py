@@ -263,23 +263,23 @@ def bench_ckks_boot():
     arrays, ct1 = jax.tree.map(lambda x: jax.device_put(x, dev),
                                (arrays, ct1))
 
-    def _step(c0, c1, arr):
-        fk = BB.FrozenKeys(arr, static)
-        out, po = BB.bootstrap(param, fk, C.CT(c0, c1), delta0=delta0)
-        nxt, _ = P.level_drop(po, out, 1)   # chain back to level 1 in-graph
-        return out.c0, out.c1, nxt.c0, nxt.c1
-
-    step = jax.jit(_step)
+    # per-STAGE jits: the whole-pipeline single jit is a graph XLA compiles
+    # for tens of minutes (see BB.make_staged)
+    run = BB.make_staged(param, static, delta0)
+    back = jax.jit(lambda c0, c1: P.level_drop(pout, C.CT(c0, c1), 1)[0])
     probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
-    res = step(ct1.c0, ct1.c1, arrays)
-    float(probe(res[0]))
-    fresh = res[:2]                        # decrypt-verified below
+    fresh_ct, _ = run(arrays, ct1.c0, ct1.c1)
+    float(probe(fresh_ct.c0))
+    fresh = (fresh_ct.c0, fresh_ct.c1)     # decrypt-verified below
+    nxt = back(fresh_ct.c0, fresh_ct.c1)
+    float(probe(nxt.c0))
     t0 = time.perf_counter()
     cur = (ct1.c0, ct1.c1)
     for _ in range(iters):
-        out_t = step(cur[0], cur[1], arrays)
-        cur = (out_t[2], out_t[3])
-    float(probe(out_t[0]))
+        out_ct, _ = run(arrays, cur[0], cur[1])
+        nxt = back(out_ct.c0, out_ct.c1)   # chain back to level 1
+        cur = (nxt.c0, nxt.c1)
+    float(probe(cur[0]))
     dt = time.perf_counter() - t0
     with jax.default_device(cpu):
         out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), fresh)

@@ -164,31 +164,17 @@ def _cos_taylor_even(deg: int, vmax: float):
     return tuple(out)
 
 
-def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
-              K: int = 7, r: int = 3, deg: int = 24,
-              delta_w: float = 2.0 ** 30):
-    # NB delta_w must sit at ~the prime size: each multiply rescales by a
-    # ~2^30 prime, so a smaller working scale would COLLAPSE geometrically
-    # through the power ladder (delta -> delta^2/q).
-    """ct_l1: level-1 ciphertext with message scale delta0 (|phase| << q0).
-    Returns (ct', param') at a high level with the same message and scale
-    ~delta0 (exact output scale in param'.delta)."""
+def _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w):
+    """ModRaise + C2S (twist folded) + affine shift -> [(ct, param)] x 2."""
     n = param_boot.n
-    qs = param_boot.qs
-    q0 = qs[0]
+    q0 = param_boot.qs[0]
     rk = keys.rotkeys()
-    rlks = keys.rlks()
-
-    # 1. raise
     ct = mod_raise(param_boot, ct_l1)
-    # 2. C2S with the affine twist folded in: w = (2 pi t / q0 - pi/2) / (2^r vmax)
     vmax = (2 * math.pi * (K + 0.5) + math.pi / 2) / (1 << r)
     a = 2 * math.pi / (q0 * (1 << r) * vmax)
     b = (-math.pi / 2) / ((1 << r) * vmax)
     (A1, B1), (A2, B2) = ev._c2s_matrices(n)
     scale_fold = a * delta_w
-    pw = ckks_rns.Param(n=n, L=param_boot.L, delta=delta_w,
-                        prime_bits=param_boot.prime_bits)
     p_unit = ckks_rns.Param(n=n, L=param_boot.L, delta=1.0,
                             prime_bits=param_boot.prime_bits)
     pkey = ("c2s", param_boot.L, K, r, delta_w)
@@ -203,26 +189,32 @@ def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
                             prime_bits=param_boot.prime_bits)
         c_ = poly.add_pt_const(p_, c_, b * 1.0)
         outs.append((c_, p_))
+    return outs
 
-    # 3. EvalMod on each half; the trailing degree-3 polynomial is the
-    # inverse-sine correction arcsin(s) ~ s + s^3/6, which cancels the
-    # linearization error of sin(2 pi m / q0) ~ 2 pi m / q0 — allowing a
-    # message scale delta0 up to ~q0/2^6 at full precision.
+
+def _stage_evalmod(keys, c_, p_, K, r, deg):
+    """cos Taylor in w^2 + double-angle ladder + arcsin correction — one
+    half of EvalMod.  The trailing degree-3 polynomial is the inverse-sine
+    correction arcsin(s) ~ s + s^3/6, cancelling the linearization error of
+    sin(2 pi m / q0) ~ 2 pi m / q0."""
+    rlks = keys.rlks()
+    vmax = (2 * math.pi * (K + 0.5) + math.pi / 2) / (1 << r)
     coeffs = _cos_taylor_even(deg, vmax)
-    halves = []
-    for c_, p_ in outs:
-        y, py = poly.mul_ct(rlks, c_, p_, c_, p_)          # y = w^2
-        cosv, pc = poly.poly_eval(rlks, y, py, list(coeffs))
-        for _ in range(r):                                  # double angle
-            sq, ps = poly.mul_ct(rlks, cosv, pc, cosv, pc)
-            dbl = ckks_rns.add(ps, sq, sq)                  # 2 cos^2
-            cosv = poly.add_pt_const(ps, dbl, -1.0)
-            pc = ps
-        cosv, pc = poly.poly_eval(rlks, cosv, pc,
-                                  [0.0, 1.0, 0.0, 1.0 / 6.0])
-        halves.append((cosv, pc))
+    y, py = poly.mul_ct(rlks, c_, p_, c_, p_)              # y = w^2
+    cosv, pc = poly.poly_eval(rlks, y, py, list(coeffs))
+    for _ in range(r):                                     # double angle
+        sq, ps = poly.mul_ct(rlks, cosv, pc, cosv, pc)
+        dbl = ckks_rns.add(ps, sq, sq)                     # 2 cos^2
+        cosv = poly.add_pt_const(ps, dbl, -1.0)
+        pc = ps
+    return poly.poly_eval(rlks, cosv, pc, [0.0, 1.0, 0.0, 1.0 / 6.0])
 
-    # 4. S2C scaled by q0/(2 pi); output scale = delta_sin * delta0 / delta0...
+
+def _stage_s2c(param_boot, keys, halves, delta0):
+    """S2C scaled by q0/(2 pi), combine halves, final rescale."""
+    n = param_boot.n
+    q0 = param_boot.qs[0]
+    rk = keys.rotkeys()
     (s1, p1), (s2, p2) = halves
     L = min(p1.L, p2.L)
     s1, p1 = poly.level_drop(p1, s1, L)
@@ -253,3 +245,67 @@ def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
                           delta=pout.delta / pout.qs[pout.L - 1],
                           prime_bits=param_boot.prime_bits)
     return out, pout
+
+
+def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
+              K: int = 7, r: int = 3, deg: int = 24,
+              delta_w: float = 2.0 ** 30):
+    # NB delta_w must sit at ~the prime size: each multiply rescales by a
+    # ~2^30 prime, so a smaller working scale would COLLAPSE geometrically
+    # through the power ladder (delta -> delta^2/q).
+    """ct_l1: level-1 ciphertext with message scale delta0 (|phase| << q0).
+    Returns (ct', param') at a high level with the same message and scale
+    ~delta0 (exact output scale in param'.delta)."""
+    outs = _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w)
+    halves = [_stage_evalmod(keys, c_, p_, K, r, deg) for c_, p_ in outs]
+    return _stage_s2c(param_boot, keys, halves, delta0)
+
+
+def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
+                deg: int = 24, delta_w: float = 2.0 ** 30):
+    """Per-STAGE jitted bootstrap: ModRaise+C2S | EvalMod (shared across
+    both halves) | S2C each compile as their OWN jit — the whole-pipeline
+    single jit produces a graph XLA takes tens of minutes to compile (every
+    level's kernels inlined ~100x); staged, compiles are small and the
+    EvalMod jit is reused for both halves.
+
+    static: plan metadata from freeze() (plans must be prebuilt, e.g. by
+    one jax.eval_shape of bootstrap()).  Returns run(arrays, c0, c1) ->
+    (CT, pout); pout is also available as run.pout after the first call."""
+    cell = {}
+
+    def f1(arr, c0, c1):
+        fk = FrozenKeys(arr, static)
+        outs = _stage_raise_c2s(param_boot, fk, ckks_rns.CT(c0, c1),
+                                K, r, delta_w)
+        cell["p1"] = outs[0][1]
+        assert outs[1][1] == outs[0][1]    # halves share a level signature
+        return (outs[0][0].c0, outs[0][0].c1,
+                outs[1][0].c0, outs[1][0].c1)
+
+    def f2(arr, c0, c1):
+        fk = FrozenKeys(arr, static)
+        ct, pc = _stage_evalmod(fk, ckks_rns.CT(c0, c1), cell["p1"],
+                                K, r, deg)
+        cell["p2"] = pc
+        return ct.c0, ct.c1
+
+    def f3(arr, a0, a1, b0, b1):
+        fk = FrozenKeys(arr, static)
+        halves = [(ckks_rns.CT(a0, a1), cell["p2"]),
+                  (ckks_rns.CT(b0, b1), cell["p2"])]
+        out, pout = _stage_s2c(param_boot, fk, halves, delta0)
+        cell["pout"] = pout
+        return out.c0, out.c1
+
+    j1, j2, j3 = jax.jit(f1), jax.jit(f2), jax.jit(f3)
+
+    def run(arrays, c0, c1):
+        a0, a1, b0, b1 = j1(arrays, c0, c1)
+        a0, a1 = j2(arrays, a0, a1)
+        b0, b1 = j2(arrays, b0, b1)        # same compile, second half
+        o0, o1 = j3(arrays, a0, a1, b0, b1)
+        run.pout = cell["pout"]
+        return ckks_rns.CT(o0, o1), cell["pout"]
+
+    return run

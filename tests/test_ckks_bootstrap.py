@@ -59,3 +59,26 @@ def test_ckks_bootstrap_frozen_jit():
     np.testing.assert_allclose(got, z, atol=1e-2)
     # jitted and eager paths agree bit-for-bit (same keys, same graph math)
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(out_e.c0))
+
+
+def test_ckks_bootstrap_staged_jits():
+    """make_staged (per-stage jits) == the single-graph bootstrap,
+    bit-for-bit (same keys, same math, smaller compiles)."""
+    n, L = 32, 18
+    delta0 = 2.0 ** 24
+    param = C.Param(n=n, L=L, delta=delta0)
+    ks = prng.split(jax.random.PRNGKey(9), 3)
+    sk, pk = C.new_key(ks[0], param)
+    rng = np.random.default_rng(10)
+    z = rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)
+    ct = C.encrypt(ks[1], param, pk,
+                   C.encode(param, jnp.asarray(z.real), jnp.asarray(z.imag)))
+    ct1, _ = P.level_drop(param, ct, 1)
+    keys = B.BootstrapKeys(ks[2], param, sk)
+    out_e, pout = B.bootstrap(param, keys, ct1, delta0=delta0)  # eager warmup
+    arrays, static = B.freeze(keys)
+    run = B.make_staged(param, static, delta0)
+    out_s, pout_s = run(arrays, ct1.c0, ct1.c1)
+    assert pout_s == pout
+    np.testing.assert_array_equal(np.asarray(out_e.c0), np.asarray(out_s.c0))
+    np.testing.assert_array_equal(np.asarray(out_e.c1), np.asarray(out_s.c1))
