@@ -82,32 +82,30 @@ def _mul32_wide_pair(a, b):
 # in-kernel pieces
 # ---------------------------------------------------------------------------
 
-def _rotate_neg(x, h, negall, n, rows):
-    """Negacyclic X^{-h} rotation of u32 coefficient planes.
+def _rotate_neg_batch(z1, h, negall, n, rows):
+    """Negacyclic X^{-h} rotation, batched sublane phase.
 
-    x: [P, rows, LANES] (P planes share the rotation; the limb coupling of
-    the sign flip is handled by the caller).  h: traced scalar in [0, n);
-    negall: traced bool (the X^{-n} = -1 extra flip for h' in [n, 2n)).
-    Returns (rotated, flip_mask) — caller negates u64 pairs under the mask.
+    z1: [B, P, rows, LANES] u32 planes ALREADY lane-rolled by each batch
+    element's own hc (the lane roll needs a scalar shift, so the caller
+    does it per-b with `pltpu.roll`; it is native and cheap).  h/negall:
+    [B, 1, 1, 1] traced vectors.  The sublane phase — the expensive part —
+    runs ONCE over the whole stacked tile: a rows-way select over static
+    rolls builds r1 = z1[(r + hr) % rows], and r2 (the hr+1 companion for
+    lanes that wrapped) is just r1 rolled one more row — one extra static
+    roll instead of a second rows-way select.
 
-    out[j] = x[(j + h) mod n], flip where (j + h) >= n, XOR negall
-    (arith/tn.py left_rotate semantics, ring_torus.rs:118-132)."""
+    Returns (rotated, flip_mask): out[j] = x[(j + h) mod n], flip where
+    (j + h) >= n, XOR negall (arith/tn.py left_rotate semantics,
+    ring_torus.rs:118-132)."""
     hr = jax.lax.div(h, I32(LANES))
     hc = jax.lax.rem(h, I32(LANES))
-    # lane roll: z1[., r, c] = x[., r, (c + hc) % 128]
-    sh = jnp.where(hc == 0, I32(0), I32(LANES) - hc)
-    z1 = pltpu.roll(x, sh, 2)
-    # sublane roll by hr and hr+1: 8-way select over static rolls
     r1 = jnp.zeros_like(z1)
-    r2 = jnp.zeros_like(z1)
-    hr1 = jax.lax.rem(hr + I32(1), I32(rows))
     for k in range(rows):
-        rk = _roll(z1, -k, 1)               # z1[., (r + k) % rows, .]
-        r1 = jnp.where(hr == k, rk, r1)
-        r2 = jnp.where(hr1 == k, rk, r2)
-    lane = jax.lax.broadcasted_iota(I32, x.shape, 2)
+        r1 = jnp.where(hr == k, _roll(z1, -k, 2), r1)
+    r2 = _roll(r1, -1, 2)                   # z1[(r + hr + 1) % rows]
+    lane = jax.lax.broadcasted_iota(I32, z1.shape, 3)
     rot = jnp.where(lane + hc < I32(LANES), r1, r2)
-    rowi = jax.lax.broadcasted_iota(I32, x.shape, 1)
+    rowi = jax.lax.broadcasted_iota(I32, z1.shape, 2)
     flat = rowi * I32(LANES) + lane
     flip = (flat >= I32(n) - h) != negall
     return rot, flip
@@ -165,18 +163,23 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev2_ref, o_ref, acc_ref,
     acc = acc_ref[...]                       # [B, C, 2, rows, LANES]
 
     # ---- rot = acc * X^{-(2n - a'_j)} (per-batch dynamic amounts) --------
-    rots = []
-    flips = []
+    hs, negs, z1s = [], [], []
     for b in range(B):
         h2 = shift_ref[j, ib * B + b]        # whole [kn, Btot] table in SMEM
         negall = h2 >= I32(n)
         h = jnp.where(negall, h2 - I32(n), h2)
-        r, f = _rotate_neg(acc[b].reshape(C * 2, rows, LANES), h, negall,
-                           n, rows)
-        rots.append(r.reshape(C, 2, rows, LANES))
-        flips.append(f[:1])                  # same mask for all planes
-    rot = jnp.stack(rots)                    # [B, C, 2, rows, LANES]
-    flip = jnp.stack(flips)                  # [B, 1, rows, LANES]
+        hc = jax.lax.rem(h, I32(LANES))
+        sh = jnp.where(hc == 0, I32(0), I32(LANES) - hc)
+        # lane roll per b (scalar shift required); sublane phase batched
+        z1s.append(pltpu.roll(acc[b].reshape(C * 2, rows, LANES), sh, 2))
+        hs.append(h)
+        negs.append(negall)
+    z1 = jnp.stack(z1s)                      # [B, C*2, rows, LANES]
+    hv = jnp.stack(hs).reshape(B, 1, 1, 1)
+    negv = jnp.stack(negs).reshape(B, 1, 1, 1)
+    rot, flipf = _rotate_neg_batch(z1, hv, negv, n, rows)
+    rot = rot.reshape(B, C, 2, rows, LANES)
+    flip = flipf[:, :1]                      # [B, 1, rows, LANES] all planes
     rl, rh = rot[:, :, 0], rot[:, :, 1]
     nl, nh = _neg64(rl, rh)
     rl = jnp.where(flip, nl, rl)
