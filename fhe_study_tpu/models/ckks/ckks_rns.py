@@ -143,29 +143,56 @@ def rescale(param: Param, x: CT):
     return CT(out.c0, out.c1), new_param
 
 
-def decrypt_to_coeffs(param: Param, sk: SecretKey, c: CT):
+def decrypt_to_coeffs(param: Param, sk: SecretKey, c: CT,
+                      crt_limbs: int | None = None):
     """c0 + c1·s -> centered f64 coefficients.
 
     The decrypted phase Δ·z + e is tiny relative to Q, so it is recovered
-    EXACTLY from the first two limbs by centered 2-prime CRT (valid while
-    |phase| < q_0·q_1/2 ≈ 2^60 — i.e. Δ·|z| up to ~2^52 in f64 range)."""
+    from the first few limbs only.  crt_limbs=2 (the default up to
+    Δ ≤ 2^40): exact centered 2-prime CRT, valid while |phase| < q0·q1/2
+    ≈ 2^60.  crt_limbs=3 (auto for the double-prime scales of the
+    high-precision pipeline, Δ ≈ q_i·q_j ≈ 2^60): centered mixed-radix
+    (Garner) digits summed in f64 — only the TOP digit is centered, so
+    every term stays ≈ |phase| and the f64 error is ~2^-53 RELATIVE, not
+    2^-53 of q0·q1·q2."""
     qs = param.qs
+    if crt_limbs is None:
+        crt_limbs = 2 if param.delta <= 2.0 ** 40 else 3
     qv = _qvec(qs, c.c0.ndim)
     mv = barrett_muv(qs, c.c0.ndim)
     # slice the key to the ciphertext's limb count (rescaled cts are shorter)
     se = _bcast_mid(sk.s_evals[: c.c0.shape[0]], c.c1.ndim)
     cs = _addmod_v(
         c.c0, intt_multi(mulmod_v(ntt_multi(c.c1, qs), se, qv, mv), qs), qv)
-    q0, q1 = qs[0], qs[1]
-    r0, r1 = cs[0], cs[1]
-    q0_inv_q1 = pow(q0, -1, q1)
-    d = modops.mulmod(modops.submod(r1, r0 % U64(q1), q1), U64(q0_inv_q1), q1)
-    v = r0 + U64(q0) * d                        # in [0, q0*q1)
-    m01 = q0 * q1
-    sv = jnp.where(v > U64(m01 // 2),
-                   -((U64(m01 % (1 << 64)) - v).astype(jnp.float64)),
-                   v.astype(jnp.float64))
-    return sv
+    if crt_limbs == 2:
+        q0, q1 = qs[0], qs[1]
+        r0, r1 = cs[0], cs[1]
+        q0_inv_q1 = pow(q0, -1, q1)
+        d = modops.mulmod(modops.submod(r1, r0 % U64(q1), q1),
+                          U64(q0_inv_q1), q1)
+        v = r0 + U64(q0) * d                    # in [0, q0*q1)
+        m01 = q0 * q1
+        sv = jnp.where(v > U64(m01 // 2),
+                       -((U64(m01 % (1 << 64)) - v).astype(jnp.float64)),
+                       v.astype(jnp.float64))
+        return sv
+    assert crt_limbs == 3 and c.c0.shape[0] >= 3, (crt_limbs, c.c0.shape)
+    q0, q1, q2 = qs[0], qs[1], qs[2]
+    r0, r1, r2 = cs[0], cs[1], cs[2]
+    # Garner digits: v = r0 + q0·d1 + q0·q1·d2, each digit < its prime
+    d1 = modops.mulmod(modops.submod(r1, r0 % U64(q1), q1),
+                       U64(pow(q0, -1, q1)), q1)
+    v01_q2 = modops.addmod(r0 % U64(q2),
+                           modops.mulmod(d1 % U64(q2), U64(q0 % q2), q2), q2)
+    d2 = modops.mulmod(modops.submod(r2, v01_q2, q2),
+                       U64(pow(q0 * q1, -1, q2)), q2)
+    # center the top digit: |phase| << q0·q1·q2/2 means d2 is ±small
+    c2 = jnp.where(d2 > U64(q2 // 2),
+                   -((U64(q2) - d2).astype(jnp.float64)),
+                   d2.astype(jnp.float64))
+    return (r0.astype(jnp.float64)
+            + float(q0) * d1.astype(jnp.float64)
+            + float(q0 * q1) * c2)
 
 
 def decode(param: Param, coeffs_f64):
@@ -204,6 +231,49 @@ def mul_hybrid(param: Param, hrlk, x: CT, y: CT):
                       delta=param.delta * param.delta / qs[-1],
                       prime_bits=param.prime_bits)
     return CT(out.c0, out.c1), new_param
+
+
+# -- double-prime scale: the high-precision pipeline ------------------------
+#
+# With u32-sized primes (q_i < 2^31) a single-prime scale caps delta at
+# ~2^30 (slot precision ~2^-24 after noise).  Setting delta ~= q_i·q_j
+# ~= 2^60 and rescaling by TWO primes per multiply keeps the scale
+# stationary and lifts slot precision to ~2^-48: encode still fits (f64
+# mantissa quantizes the 2^60-scaled coefficients to multiples of 2^7 —
+# a 2^-53 relative error — and int64 residue conversion holds to 2^62);
+# decrypt recovers the phase by centered 3-limb Garner CRT.  Relin noise
+# must be ~1 unit for the precision to survive, so the multiply is the
+# hybrid (P-extended) switch — the plain RNS gadget's ~2^36 noise would
+# cap precision at ~2^-24 again.
+
+
+def delta2(param_or_qs, L: int | None = None) -> float:
+    """The stationary double-prime scale q_{L-1}·q_{L-2} (as f64)."""
+    qs = param_or_qs.qs if hasattr(param_or_qs, "qs") else param_or_qs
+    L = len(qs) if L is None else L
+    return float(qs[L - 1]) * float(qs[L - 2])
+
+
+def rescale2(param: Param, x: CT):
+    """Drop the last TWO primes: delta -> delta/(q_{L-1}·q_{L-2})."""
+    ct, p1 = rescale(param, x)
+    return rescale(p1, ct)
+
+
+def mul_hybrid2(param: Param, hrlk, x: CT, y: CT):
+    """(x (x) y) -> hybrid relinearize -> rescale by TWO primes.  Returns
+    (ct', param') with L-2 limbs and scale delta^2/(q_{L-1}·q_{L-2}) —
+    stationary at delta ~= 2^60 with ~30-bit primes."""
+    from .. import hybrid_ks
+    qs = param.qs
+    d = tensor_mul4(x.c0, x.c1, y.c0, y.c1, qs)
+    d0, d1, d2 = d[..., 0, :], d[..., 1, :], d[..., 2, :]
+    sw = hybrid_ks.hybrid_key_switch(
+        param, hrlk, CT(d0.astype(U64), d2.astype(U64)))
+    qv = _qvec(qs, d1.ndim)
+    p_sq = Param(n=param.n, L=param.L, delta=param.delta * param.delta,
+                 prime_bits=param.prime_bits)   # tensor carries delta^2
+    return rescale2(p_sq, CT(sw.c0, _addmod_v(sw.c1, d1.astype(U64), qv)))
 
 
 # -- multiply + rescale (the standard RNS-CKKS pipeline) --------------------
