@@ -221,9 +221,7 @@ def new_key(key, param: RnsParam, batch=()):
     k_s, k_a, k_e = prng.split(key, 3)
     s = prng.binary(k_s, tuple(batch) + (param.n,)).astype(jnp.int64)
     s_evals = ntt_multi(_to_residues(s, both), both)
-    a = jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i),
-                                    tuple(batch) + (param.n,), q)
-                   for i, q in enumerate(qs)], 0)
+    a = prng.uniform_mod_multi(k_a, tuple(batch) + (param.n,), qs)
     e_res = _to_residues(prng.gaussian_int(k_e, tuple(batch) + (param.n,),
                                            ERR_SIGMA), qs)
     qv = _qvec(qs, a.ndim)
@@ -241,16 +239,12 @@ def rlk_key(key, param: RnsParam, sk: SecretKey, batch=()):
     L = param.L
     bq = _basis(qs)
     k_a, k_e = prng.split(key, 2)
-    # a: [L_rows, L_primes, batch..., n]
-    a = jnp.stack([
-        jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i * L + j),
-                                    tuple(batch) + (param.n,), q)
-                   for j, q in enumerate(qs)], 0)
-        for i in range(L)], 0)
-    e = jnp.stack([
-        _to_residues(prng.gaussian_int(jax.random.fold_in(k_e, i),
-                                       tuple(batch) + (param.n,), ERR_SIGMA), qs)
-        for i in range(L)], 0)
+    shp = tuple(batch) + (param.n,)
+    # a: [L_rows, L_primes, batch..., n] — one sampler op (vector moduli),
+    # batched NTTs via the repeated-primes trick (no per-row traced loops)
+    a = prng.uniform_mod_multi(k_a, shp, qs * L).reshape((L, L) + shp)
+    e = jnp.swapaxes(_to_residues(
+        prng.gaussian_int(k_e, (L,) + shp, ERR_SIGMA), qs), 0, 1)
     qv = _qvec(qs, a.ndim - 1)
     mv = barrett_muv(qs, a.ndim - 1)
     sq = sk.s_evals[:L]
@@ -259,10 +253,10 @@ def rlk_key(key, param: RnsParam, sk: SecretKey, batch=()):
     g = np.array([[ (bq.hat[i] * int(bq.hat_inv[i])) % q for q in qs]
                   for i in range(L)], np.uint64)
     gv = jnp.asarray(g).reshape((L, L) + (1,) * (a.ndim - 2))
-    ea = jnp.stack([ntt_multi(a[i], qs) for i in range(L)], 0)
+    ea = ntt_multi(a.reshape((L * L,) + shp), qs * L).reshape(a.shape)
     as_ = mulmod_v(ea, sq[None], qv[None], mv[None])
     s2g = mulmod_v(s2[None], gv, qv[None], mv[None])
-    ee = jnp.stack([ntt_multi(e[i], qs) for i in range(L)], 0)
+    ee = ntt_multi(e.reshape((L * L,) + shp), qs * L).reshape(e.shape)
     b = _submod_v(_addmod_v(s2g, ee, qv[None]), as_, qv[None])
     return RLK(b=b, a=ea)
 

@@ -192,26 +192,42 @@ def _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w):
     return outs
 
 
-def _stage_evalmod(keys, c_, p_, K, r, deg):
+def _arcsin_coeffs(terms: int):
+    """arcsin(s) Taylor: s + s^3/6 + 3 s^5/40 + 15 s^7/336 ... (`terms`
+    odd-power terms) — cancels the linearization error of
+    sin(2 pi m / q0) ~ 2 pi m / q0 up to O((m/q0)^{2*terms+1})."""
+    out = [0.0, 1.0]
+    c = 1.0
+    for j in range(1, terms):
+        c *= (2 * j - 1) / (2 * j)
+        out += [0.0, c / (2 * j + 1)]
+    return out
+
+
+def _stage_evalmod(keys, c_, p_, K, r, deg, double=False, arcsin_terms=2):
     """cos Taylor in w^2 + double-angle ladder + arcsin correction — one
-    half of EvalMod.  The trailing degree-3 polynomial is the inverse-sine
-    correction arcsin(s) ~ s + s^3/6, cancelling the linearization error of
-    sin(2 pi m / q0) ~ 2 pi m / q0."""
+    half of EvalMod.  The trailing odd polynomial is the inverse-sine
+    correction (see _arcsin_coeffs).  double=True runs every multiply at
+    the two-prime-drop scale (poly.mul_ct2/poly_eval2) for ~2^-40-grade
+    relative error per level instead of ~2^-24."""
     rlks = keys.rlks()
+    mul = poly.mul_ct2 if double else poly.mul_ct
+    peval = poly.poly_eval2 if double else poly.poly_eval
     vmax = (2 * math.pi * (K + 0.5) + math.pi / 2) / (1 << r)
     coeffs = _cos_taylor_even(deg, vmax)
-    y, py = poly.mul_ct(rlks, c_, p_, c_, p_)              # y = w^2
-    cosv, pc = poly.poly_eval(rlks, y, py, list(coeffs))
+    y, py = mul(rlks, c_, p_, c_, p_)                      # y = w^2
+    cosv, pc = peval(rlks, y, py, list(coeffs))
     for _ in range(r):                                     # double angle
-        sq, ps = poly.mul_ct(rlks, cosv, pc, cosv, pc)
+        sq, ps = mul(rlks, cosv, pc, cosv, pc)
         dbl = ckks_rns.add(ps, sq, sq)                     # 2 cos^2
         cosv = poly.add_pt_const(ps, dbl, -1.0)
         pc = ps
-    return poly.poly_eval(rlks, cosv, pc, [0.0, 1.0, 0.0, 1.0 / 6.0])
+    return peval(rlks, cosv, pc, _arcsin_coeffs(arcsin_terms))
 
 
-def _stage_s2c(param_boot, keys, halves, delta0):
-    """S2C scaled by q0/(2 pi), combine halves, final rescale."""
+def _stage_s2c(param_boot, keys, halves, delta0, double=False):
+    """S2C scaled by q0/(2 pi), combine halves, final rescale (two drops
+    when the working scale is a double-prime: delta_w*delta0/(q*q') ~ delta0)."""
     n = param_boot.n
     q0 = param_boot.qs[0]
     rk = keys.rotkeys()
@@ -237,32 +253,49 @@ def _stage_s2c(param_boot, keys, halves, delta0):
     # with t's message at scale delta0 -> effective scale delta_sin * delta0
     pout = ckks_rns.Param(n=n, L=pf.L, delta=pf.delta * delta0,
                           prime_bits=param_boot.prime_bits)
-    # final rescale: drop the working-scale factor (delta_sin ~ one prime)
-    # so the output sits near the INPUT scale and further multiplications
-    # do not overflow the remaining modulus
-    out, _ = ckks_rns.rescale(pout, out)
-    pout = ckks_rns.Param(n=n, L=pout.L - 1,
-                          delta=pout.delta / pout.qs[pout.L - 1],
-                          prime_bits=param_boot.prime_bits)
+    # final rescale: drop the working-scale factor (delta_sin ~ one prime,
+    # or two in double mode) so the output sits near the INPUT scale and
+    # further multiplications do not overflow the remaining modulus
+    for _ in range(2 if double else 1):
+        out, _ = ckks_rns.rescale(pout, out)
+        pout = ckks_rns.Param(n=n, L=pout.L - 1,
+                              delta=pout.delta / pout.qs[pout.L - 1],
+                              prime_bits=param_boot.prime_bits)
     return out, pout
+
+
+def _is_double(delta_w: float, double):
+    # delta_w ~ one prime (2^30) -> single-drop ladder; ~ two primes
+    # (2^60) -> double-drop.  Explicit `double` overrides the heuristic.
+    return (delta_w > 2.0 ** 45) if double is None else double
 
 
 def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
               K: int = 7, r: int = 3, deg: int = 24,
-              delta_w: float = 2.0 ** 30):
-    # NB delta_w must sit at ~the prime size: each multiply rescales by a
-    # ~2^30 prime, so a smaller working scale would COLLAPSE geometrically
-    # through the power ladder (delta -> delta^2/q).
+              delta_w: float = 2.0 ** 30, double: bool | None = None,
+              arcsin_terms: int = 2):
+    # NB delta_w must sit at ~the rescale granularity: single mode drops one
+    # ~2^30 prime per multiply (delta_w ~ 2^30), double mode drops two
+    # (delta_w ~ 2^60) — a mismatched working scale would COLLAPSE
+    # geometrically through the power ladder (delta -> delta^2/q).
     """ct_l1: level-1 ciphertext with message scale delta0 (|phase| << q0).
     Returns (ct', param') at a high level with the same message and scale
-    ~delta0 (exact output scale in param'.delta)."""
+    ~delta0 (exact output scale in param'.delta).
+
+    High-precision mode: delta_w ~ 2^60 (auto-detected) runs EvalMod at
+    double-prime scales (poly.mul_ct2/poly_eval2) — ~2x the limb budget,
+    ~20+ refreshed bits instead of ~8.  Pair with deg>=30 and
+    arcsin_terms>=3 so the approximation error keeps up with the noise."""
+    dbl = _is_double(delta_w, double)
     outs = _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w)
-    halves = [_stage_evalmod(keys, c_, p_, K, r, deg) for c_, p_ in outs]
-    return _stage_s2c(param_boot, keys, halves, delta0)
+    halves = [_stage_evalmod(keys, c_, p_, K, r, deg, dbl, arcsin_terms)
+              for c_, p_ in outs]
+    return _stage_s2c(param_boot, keys, halves, delta0, dbl)
 
 
 def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
-                deg: int = 24, delta_w: float = 2.0 ** 30):
+                deg: int = 24, delta_w: float = 2.0 ** 30,
+                double: bool | None = None, arcsin_terms: int = 2):
     """Per-STAGE jitted bootstrap: ModRaise+C2S | EvalMod (shared across
     both halves) | S2C each compile as their OWN jit — the whole-pipeline
     single jit produces a graph XLA takes tens of minutes to compile (every
@@ -273,6 +306,7 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
     one jax.eval_shape of bootstrap()).  Returns run(arrays, c0, c1) ->
     (CT, pout); pout is also available as run.pout after the first call."""
     cell = {}
+    dbl = _is_double(delta_w, double)
 
     def f1(arr, c0, c1):
         fk = FrozenKeys(arr, static)
@@ -286,7 +320,7 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
     def f2(arr, c0, c1):
         fk = FrozenKeys(arr, static)
         ct, pc = _stage_evalmod(fk, ckks_rns.CT(c0, c1), cell["p1"],
-                                K, r, deg)
+                                K, r, deg, dbl, arcsin_terms)
         cell["p2"] = pc
         return ct.c0, ct.c1
 
@@ -294,7 +328,7 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
         fk = FrozenKeys(arr, static)
         halves = [(ckks_rns.CT(a0, a1), cell["p2"]),
                   (ckks_rns.CT(b0, b1), cell["p2"])]
-        out, pout = _stage_s2c(param_boot, fk, halves, delta0)
+        out, pout = _stage_s2c(param_boot, fk, halves, delta0, dbl)
         cell["pout"] = pout
         return out.c0, out.c1
 

@@ -67,6 +67,21 @@ def _encode_const(param, c, scale: float):
     return bfv_rns._to_residues(m, param.qs)
 
 
+def _encode_const_exact(param, c: float, scale_int: int):
+    """REAL constant c at an exact integer scale, residues computed in
+    arbitrary-precision Python ints.  A real constant's canonical embedding
+    is the constant polynomial, so no FFT is involved — this is the only
+    way to encode at scales > 2^62 (f64 rounding would inject ~2^{log2 v - 53}
+    absolute error, i64 coefficients would overflow)."""
+    from fractions import Fraction
+    v = Fraction(c) * scale_int
+    m_int = int(v + Fraction(1, 2)) if v >= 0 else -int(-v + Fraction(1, 2))
+    out = np.zeros((param.L, param.n), np.uint64)
+    for i, q in enumerate(param.qs):
+        out[i, 0] = m_int % q
+    return jnp.asarray(out)
+
+
 def add_pt_const(param, ct, c):
     """ct + constant (encoded at the ciphertext's live scale); ct may carry
     batch axes (the [L, n] plaintext broadcasts through the middle)."""
@@ -77,7 +92,23 @@ def add_pt_const(param, ct, c):
     return ckks_rns.CT(_addmod_v(ct.c0, m, qv), ct.c1)
 
 
-def powers(rlks: dict, ct, param, ks: set) -> dict:
+def mul_ct2(rlks: dict, x, px, y, py):
+    """x*y with level alignment, rescaling by TWO primes (the double-prime
+    high-precision pipeline, ckks_rns.mul_hybrid2): scale stays stationary
+    at delta ~= q_i*q_j ~= 2^60.  Returns (ct, param)."""
+    L = min(px.L, py.L)
+    x, px = level_drop(px, x, L)
+    y, py = level_drop(py, y, L)
+    pin = ckks_rns.Param(n=px.n, L=L, delta=px.delta, prime_bits=px.prime_bits)
+    ct, pout = ckks_rns.mul_hybrid2(pin, rlks[L], x, y)
+    pout = ckks_rns.Param(n=px.n, L=pout.L,
+                          delta=px.delta * py.delta
+                          / (float(pin.qs[-1]) * float(pin.qs[-2])),
+                          prime_bits=px.prime_bits)
+    return ct, pout
+
+
+def powers(rlks: dict, ct, param, ks: set, mul=mul_ct) -> dict:
     """{k: (ct, param)} for every k in ks (binary decomposition, memoized)."""
     memo = {1: (ct, param)}
 
@@ -86,11 +117,11 @@ def powers(rlks: dict, ct, param, ks: set) -> dict:
             hi = 1 << (k.bit_length() - 1)
             if hi == k:
                 a, pa = get(k // 2)
-                memo[k] = mul_ct(rlks, a, pa, a, pa)
+                memo[k] = mul(rlks, a, pa, a, pa)
             else:
                 a, pa = get(hi)
                 b, pb = get(k - hi)
-                memo[k] = mul_ct(rlks, a, pa, b, pb)
+                memo[k] = mul(rlks, a, pa, b, pb)
         return memo[k]
 
     for k in sorted(ks):
@@ -131,4 +162,40 @@ def poly_eval(rlks: dict, ct, param, coeffs):
     pout = ckks_rns.Param(n=param.n, L=Lmin - 1,
                           delta=target * q_drop / pL.qs[-1],
                           prime_bits=param.prime_bits)
+    return out, pout
+
+
+def poly_eval2(rlks: dict, ct, param, coeffs):
+    """poly_eval at DOUBLE-PRIME scales: ct multiplies via mul_ct2 (two
+    primes dropped per level), the constant fold runs at the exact integer
+    two-prime scale q_{L-1}*q_{L-2} (encoded in arbitrary precision —
+    coefficients there exceed both f64-exactness and i64 range), and the
+    degree-0 term is added AFTER the final rescale so its encoding scale
+    stays ~delta, never ~delta*2^60.  Real coefficients only (the exact
+    constant path has no complex form).  Consumes 2*(depth(deg)+1) limbs."""
+    coeffs = [float(c) for c in coeffs]
+    ks = {k for k in range(1, len(coeffs)) if coeffs[k] != 0}
+    assert ks, "need at least one non-constant term"
+    pw = powers(rlks, ct, param, ks, mul=mul_ct2)
+    Lmin = min(pw[k][1].L for k in ks)
+    target = param.delta                     # output scale
+    q_drop_int = None
+    terms = []
+    for k in ks:
+        x, px = level_drop(pw[k][1], pw[k][0], Lmin)
+        if q_drop_int is None:
+            q_drop_int = int(px.qs[-1]) * int(px.qs[-2])
+        c = coeffs[k] * (target / px.delta)
+        m = _encode_const_exact(px, c, q_drop_int)
+        terms.append(ckks_rns.mul_pt(px, x, m))
+    pL = ckks_rns.Param(n=param.n, L=Lmin, delta=target * float(q_drop_int),
+                        prime_bits=param.prime_bits)
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = ckks_rns.add(pL, acc, t)
+    out, pout = ckks_rns.rescale2(pL, acc)
+    pout = ckks_rns.Param(n=param.n, L=Lmin - 2, delta=target,
+                          prime_bits=param.prime_bits)
+    if coeffs[0] != 0:
+        out = add_pt_const(pout, out, coeffs[0])
     return out, pout

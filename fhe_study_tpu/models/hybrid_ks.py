@@ -90,24 +90,23 @@ def _hybrid_ksk_impl(key, param, s_old_evals, s_new_evals,
     se_new = _evals_over(param, s_new, both)
     k_a, k_e = prng.split(key, 2)
     nb = len(both)
-    a = jnp.stack([
-        jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i * nb + j),
-                                    (n,), q) for j, q in enumerate(both)], 0)
-        for i in range(L)], 0)                     # [L_rows, L+K, n]
-    e = jnp.stack([
-        _to_residues(prng.gaussian_int(jax.random.fold_in(k_e, i), (n,),
-                                       ERR_SIGMA), both)
-        for i in range(L)], 0)
+    # one sampler op each (vector moduli / one gaussian draw), then batched
+    # NTTs with the repeated-primes trick (see hoist_digits) — NOT per-row
+    # Python loops: at L~30 limbs those trace thousands of ops per key
+    a = jnp.transpose(prng.uniform_mod_multi(k_a, (L, n), both),
+                      (1, 0, 2))                   # [L_rows, L+K, n]
+    e = jnp.transpose(_to_residues(prng.gaussian_int(k_e, (L, n), ERR_SIGMA),
+                                   both), (1, 0, 2))
     bv = _qvec(both, a.ndim - 1)
     mv = barrett_muv(both, a.ndim - 1)
     # msg_i residues: (P * Qhat_i * [Qhat_i^{-1}]_{q_i}) mod q_j ; 0 mod p_j
     g = np.array([[(P * bq.hat[i] * int(bq.hat_inv[i])) % q for q in both]
                   for i in range(L)], np.uint64)
     gv = jnp.asarray(g).reshape((L, nb) + (1,) * (a.ndim - 2))
-    ea = jnp.stack([ntt_multi(a[i], both) for i in range(L)], 0)
+    ea = ntt_multi(a.reshape((L * nb, n)), both * L).reshape(a.shape)
     as_ = mulmod_v(ea, se_new[None], bv[None], mv[None])
     sg = mulmod_v(se_old[None], gv, bv[None], mv[None])
-    ee = jnp.stack([ntt_multi(e[i], both) for i in range(L)], 0)
+    ee = ntt_multi(e.reshape((L * nb, n)), both * L).reshape(e.shape)
     b = _submod_v(_addmod_v(sg, ee, bv[None]), as_, bv[None])
     return HybridKSK(b=b, a=ea)
 

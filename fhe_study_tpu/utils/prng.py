@@ -38,6 +38,16 @@ def uniform_mod(key, shape, q: int):
     return jax.random.randint(key, shape, 0, q, dtype=jnp.int64).astype(jnp.uint64)
 
 
+def uniform_mod_multi(key, shape, qs: tuple):
+    """Uniform residues over a prime basis: [len(qs), *shape], exact
+    per-modulus (randint takes broadcast vector bounds) — ONE sampler op
+    where a per-prime loop would emit len(qs) (key-set builders at L~30
+    limbs otherwise trace thousands of calls into one graph)."""
+    q = jnp.asarray(qs, jnp.int64).reshape((len(qs),) + (1,) * len(shape))
+    return jax.random.randint(key, (len(qs),) + tuple(shape), 0, q,
+                              dtype=jnp.int64).astype(jnp.uint64)
+
+
 def binary(key, shape):
     """Uniform bits in {0, 1} as u64."""
     return jax.random.bernoulli(key, 0.5, shape).astype(jnp.uint64)
