@@ -1,11 +1,19 @@
-"""Benchmark: RNS-BFV ciphertext×ciphertext multiply (with relinearization)
-throughput at N = 2^14 on one chip — the BASELINE.json headline config.
+"""Benchmark: the full BASELINE.md scorecard on one chip.
 
-Prints ONE JSON line:
+Default run (`python bench.py`) emits ONE JSON line PER config:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+in order: NTT kernel roofline, BFV ct-mul (headline, N=2^14), BFV linear
+(N=2^12 B=1K), CKKS add+mul+rescale, TFHE bootstraps/s, CKKS bootstraps/s.
+A failing config prints an {"metric": ..., "error": ...} line and the rest
+still run.  FHE_BENCH_KIND=bfv|bfv_linear|ckks|tfhe|ckks_boot|ntt runs one.
 
 vs_baseline: the north-star target is ≥10^6 ct-mults/s aggregate on a v5e-16,
-i.e. 62500/s per chip — value / 62500.
+i.e. 62500/s per chip — value / 62500.  The NTT line reports
+`hbm_equiv_frac` (unfused-chain HBM traffic at 819 GB/s v5e peak — the
+speed-of-light an UNFUSED stage chain could reach; the fused VMEM kernel
+can and does exceed 1.0) and the compute-path lines report
+`butterflies_per_sec` so the roofline fraction of the measured kernel
+ceiling is visible in the scorecard (BASELINE.md:33-34).
 
 Env knobs: FHE_BENCH_N, FHE_BENCH_L, FHE_BENCH_M, FHE_BENCH_B, FHE_BENCH_T,
 FHE_BENCH_ITERS (for smoke runs on CPU).
@@ -14,10 +22,6 @@ FHE_BENCH_ITERS (for smoke runs on CPU).
 import json
 import os
 import time
-
-# default the fused Pallas NTT on (read at fhe_study_tpu import; ~2x the
-# XLA u64 path on TPU); FHE_USE_PALLAS_NTT=0 for the pure-XLA baseline
-os.environ.setdefault("FHE_USE_PALLAS_NTT", "1")
 
 import jax
 
@@ -33,6 +37,66 @@ import jax.numpy as jnp  # noqa: E402
 
 from fhe_study_tpu.models import bfv_rns as R  # noqa: E402
 from fhe_study_tpu.utils import prng  # noqa: E402
+
+
+# measured fused-kernel ceiling (set by bench_ntt when it runs first; the
+# compute-path metrics quote their butterfly throughput against it)
+_NTT_CEILING = {}
+
+
+def bench_ntt():
+    """NTT kernel roofline (BASELINE.md:33-34): fused multi-prime forward
+    transform throughput at the headline shape, vs the HBM speed-of-light of
+    an UNFUSED stage chain (819 GB/s on v5e)."""
+    from fhe_study_tpu.ops import ntt as ntt_mod
+    from fhe_study_tpu.ops.primes import ntt_primes
+    from fhe_study_tpu.utils.profiling import ntt_roofline
+
+    n = int(os.environ.get("FHE_BENCH_N", 1 << 14))
+    L = int(os.environ.get("FHE_BENCH_L", 4)) + int(os.environ.get("FHE_BENCH_M", 5))
+    B = int(os.environ.get("FHE_BENCH_B", 64))
+    iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
+    chain = int(os.environ.get("FHE_BENCH_CHAIN", 8))
+    qs = ntt_primes(L, 30, 1 << 16)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        from fhe_study_tpu.utils import prng
+        a = prng.uniform_mod_multi(jax.random.PRNGKey(0), (B, n), qs
+                                   ).astype(jnp.uint32)
+    dev = jax.devices()[0]
+    a = jax.device_put(a, dev)
+
+    def _chain(x):
+        # chained: each output feeds the next transform (forward NTT maps
+        # [0,q) -> [0,q), so the chain stays in range; values are garbage
+        # after the first link but timing is honest — no cache can serve it)
+        def body(c, _):
+            return ntt_mod.ntt_multi(c, qs), None
+        out, _ = jax.lax.scan(body, x, None, length=chain)
+        return out
+
+    f = jax.jit(_chain)
+    probe = jax.jit(lambda x: jnp.sum(x[:, 0, :64].astype(jnp.uint64)))
+    out = f(a)
+    float(probe(out))
+    t0 = time.perf_counter()
+    cur = a
+    for _ in range(iters):
+        cur = f(cur)
+    float(probe(cur))
+    dt = time.perf_counter() - t0
+    n_tr = L * B * chain * iters
+    roof = ntt_roofline(n_tr, n, dt, dtype_bytes=4)
+    rep = roof.report()
+    _NTT_CEILING["bf_per_s"] = roof.butterflies_per_sec
+    print(json.dumps({
+        "metric": f"ntt_fused_n{n}_L{L}_butterflies_per_sec",
+        "value": round(roof.butterflies_per_sec, 0),
+        "unit": "butterflies/s",
+        "vs_baseline": round(rep["hbm_fraction_of_peak"], 4),
+        "hbm_equiv_frac": round(rep["hbm_fraction_of_peak"], 4),
+        "hbm_equiv_gbps": round(rep["hbm_gbps"], 1),
+    }))
 
 
 def bench_tfhe():
@@ -295,20 +359,7 @@ def bench_ckks_boot():
     }))
 
 
-def main():
-    kind = os.environ.get("FHE_BENCH_KIND", "bfv")
-    if kind == "tfhe":
-        bench_tfhe()
-        return
-    if kind == "bfv_linear":
-        bench_bfv_linear()
-        return
-    if kind == "ckks":
-        bench_ckks()
-        return
-    if kind == "ckks_boot":
-        bench_ckks_boot()
-        return
+def bench_bfv():
     n = int(os.environ.get("FHE_BENCH_N", 1 << 14))
     L = int(os.environ.get("FHE_BENCH_L", 4))
     M = int(os.environ.get("FHE_BENCH_M", 5))
@@ -387,13 +438,50 @@ def main():
     ok = bool((np.asarray(rec) == np.asarray(want)).all())
 
     value = B * chain * iters / dt
+    # butterfly accounting for the roofline fraction: the ct-mul pipeline
+    # runs 4L+4M+L^2 forward + 3L+3M+2L inverse transforms of size n
+    logn = n.bit_length() - 1
+    n_tr = (4 * L + 4 * M + L * L) + (3 * L + 3 * M + 2 * L)
+    bf_per_mul = n_tr * logn * (n // 2)
+    bf_s = value * bf_per_mul
+    extra = {"butterflies_per_sec": round(bf_s, 0)}
+    if _NTT_CEILING.get("bf_per_s"):
+        extra["roofline_frac"] = round(bf_s / _NTT_CEILING["bf_per_s"], 4)
     print(json.dumps({
         "metric": f"bfv_rns_ctmul_n{n}_L{L}_per_sec_per_chip"
                   + ("" if ok else "_DECRYPT_FAIL"),
         "value": round(value, 3),
         "unit": "ctmul/s",
         "vs_baseline": round(value / 62500.0, 6),
+        **extra,
     }))
+
+
+def main():
+    kind = os.environ.get("FHE_BENCH_KIND", "all")
+    modes = {
+        # order: kernel roofline first (sets the ceiling the headline
+        # quotes), headline second, cheap configs before the slow bootstraps
+        "ntt": bench_ntt,
+        "bfv": bench_bfv,
+        "bfv_linear": bench_bfv_linear,
+        "ckks": bench_ckks,
+        "tfhe": bench_tfhe,
+        "ckks_boot": bench_ckks_boot,
+    }
+    if kind != "all":
+        modes[kind]()
+        return
+    import sys
+    import traceback
+    for name, fn in modes.items():
+        try:
+            fn()
+        except Exception as e:  # one broken config must not hide the rest
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({"metric": f"{name}_ERROR", "value": 0,
+                              "unit": "error", "vs_baseline": 0.0,
+                              "error": f"{type(e).__name__}: {e}"[:300]}))
 
 
 if __name__ == "__main__":

@@ -187,12 +187,26 @@ def decompose_base2(a, l: int):
     """Bit decomposition MSB-first over the top-l bits -> [l, ...].
 
     For l = 64 this is exactly the reference (torus.rs:43-52).  For l < 64 the
-    reference takes the LOW l bits (never exercised with l < 64 on any
-    decompose path); we take the TOP l bits, which is the correct gadget
-    decomposition and what the TLev scale factors (2^64/2^i) correspond to."""
+    reference takes the LOW l bits (its own doc says "only beta=2 and l=64 is
+    supported", torus.rs:41-42, and no reference call site uses l < 64); we
+    take the TOP l bits, which is the correct gadget decomposition and what
+    the TLev scale factors (2^64/2^i) correspond to.  The reference's exact
+    l < 64 behavior is reproduced by `decompose_base2_reference` below and
+    pinned against torus.rs digit vectors in tests/test_rings.py."""
     shifts = jnp.arange(l, dtype=jnp.uint64)
     shape = (l,) + (1,) * jnp.ndim(a)
     return (a[None, ...] >> (U64(63) - shifts.reshape(shape))) & U64(1)
+
+
+def decompose_base2_reference(a, l: int):
+    """Bit-parity mode for the reference's l < 64 slice (torus.rs:43-52):
+    digits are the LOW l bits, MSB-of-the-slice first —
+    digit_i = (x >> (l-1-i)) & 1.  Quirk-parity only: these digits do NOT
+    satisfy the gadget identity sum(digit_i * 2^(64-1-i)) = x for l < 64
+    (the reference never exercises that path; see decompose_base2)."""
+    shifts = jnp.arange(l, dtype=jnp.uint64)
+    shape = (l,) + (1,) * jnp.ndim(a)
+    return (a[None, ...] >> (U64(l - 1) - shifts.reshape(shape))) & U64(1)
 
 
 def decompose_base_pow2(a, w: int, l: int):

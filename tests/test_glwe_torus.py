@@ -34,6 +34,21 @@ def test_key_switch_torus():
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
 
 
+def test_glwe_torus_k32_envelope():
+    """Reference workload envelope upper edge (SURVEY §6: k ∈ {1..32}):
+    encrypt/decrypt round-trip at k=32 over the torus ring."""
+    param = G.Param(G.ERR_SIGMA, RingParam(TORUS_Q, 32), 32, 8)
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = prng.split(key, 3)
+    sk, _ = G.new_key(k1, param)
+    m = prng.uniform_mod(k2, (4, param.ring.n), param.t)
+    p = m * jnp.uint64(TORUS_Q // param.t)
+    c = G.encrypt_s(k3, param, sk, p, batch=(4,))
+    ring = ring_for(param.ring)
+    rec = ring.decode_scale(G.decrypt(param, sk, c), param.t)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
+
+
 def test_mod_switch_torus_to_power_of_two():
     param = G.Param(G.ERR_SIGMA, RingParam(TORUS_Q, 32), 2, 8)
     key = jax.random.PRNGKey(1)

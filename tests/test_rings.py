@@ -109,6 +109,24 @@ def test_t64_decompose_roundtrip():
         assert int(recompose_bits(d)) == int(x)
 
 
+def test_t64_decompose_reference_l_lt_64():
+    """Fixed-vector parity with torus.rs:43-52 for l < 64 (VERDICT r1 #9):
+    the reference maps x to [(x >> i) & 1 for i in (0..l).rev()] — the LOW
+    l bits, slice-MSB first.  Digits computed here with pure Python ints
+    emulating the Rust expression exactly."""
+    for l in (8, 32):
+        for x in (12345, 0, (1 << 64) - 2, 0xDEADBEEF_CAFEBABE):
+            want = [(x >> i) & 1 for i in range(l - 1, -1, -1)]
+            got = np.asarray(tn.decompose_base2_reference(
+                jnp.uint64(x), l)).astype(int).tolist()
+            assert got == want, (l, x)
+    # and for l = 64 the reference slice IS the library's gadget decompose
+    x = 0x0123456789ABCDEF
+    np.testing.assert_array_equal(
+        np.asarray(tn.decompose_base2_reference(jnp.uint64(x), 64)),
+        np.asarray(tn.decompose(jnp.uint64(x), 2, 64)))
+
+
 def test_tn_mul_crt_matches_naive():
     rng = np.random.default_rng(8)
     for n in (64, 256):
