@@ -472,16 +472,29 @@ def main():
     if kind != "all":
         modes[kind]()
         return
+    import signal
     import sys
     import traceback
+    # per-mode wall-clock guard: a wedged TPU tunnel or a pathological
+    # compile must not stall the whole scorecard (SIGALRM raises inside the
+    # blocking call; the mode is reported as an error and the rest run)
+    budget = int(os.environ.get("FHE_BENCH_MODE_TIMEOUT", 1500))
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(f"bench mode exceeded {budget}s")
+
+    signal.signal(signal.SIGALRM, _on_alarm)
     for name, fn in modes.items():
         try:
+            signal.alarm(budget)
             fn()
         except Exception as e:  # one broken config must not hide the rest
             traceback.print_exc(file=sys.stderr)
             print(json.dumps({"metric": f"{name}_ERROR", "value": 0,
                               "unit": "error", "vs_baseline": 0.0,
                               "error": f"{type(e).__name__}: {e}"[:300]}))
+        finally:
+            signal.alarm(0)
 
 
 if __name__ == "__main__":

@@ -142,9 +142,59 @@ def multichip_ct_mul_step(mesh: Mesh, param: bfv.Param, ks_param: G.Param,
     return jax.jit(step)
 
 
+def dryrun_rns(mesh: Mesh, n: int = 4096):
+    """RNS-BFV ct-mul at production ring size (N=2^12) with the limb axis
+    sharded over `ep` and batch over the DCN-tier `dp` — the headline path
+    on a 2-level (host x chip) mesh, decrypt-verified (VERDICT r1 #10)."""
+    from ..models import bfv_rns as R
+    param = R.RnsParam(n=n, t=16, L=4, M=5)
+    B = max(mesh.shape["dp"], 2)
+    ks = prng.split(jax.random.PRNGKey(1), 6)
+    sk, pk = R.new_key(ks[0], param)
+    rlk = R.rlk_key(ks[1], param, sk)
+    m1 = prng.uniform_mod(ks[2], (B, param.n), param.t)
+    m2 = prng.uniform_mod(ks[3], (B, param.n), param.t)
+    c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
+    c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
+    sh = NamedSharding(mesh, P("ep", "dp", None))          # [L, B, n]
+    c1 = R.CT(*[jax.device_put(x, sh) for x in c1])
+    c2 = R.CT(*[jax.device_put(x, sh) for x in c2])
+    out = jax.jit(lambda a, b: R.mul(param, rlk, a, b))(c1, c2)
+    jax.block_until_ready(out)
+    rec = np.asarray(R.decrypt(param, sk, out))
+    want = np.asarray(modops.coerce_i64(ntt.polymul_i64_crt(
+        m1.astype(jnp.int64), m2.astype(jnp.int64)), param.t))
+    assert (rec == want).all(), "RNS limb-sharded ct-mul decrypts wrong"
+
+
+def dryrun_hybrid(n_devices: int):
+    """The multi-host code path, simulated in one process: a 2-level
+    (DCN x ICI) mesh with the host factor feeding dp (see
+    parallel/distributed.py), running (a) the RNS ct-mul with ep-sharded
+    limbs at N=2^12 and (b) the four-step sp-sharded NTT at N=2^12 —
+    bit-equal to single-device."""
+    from . import distributed
+    from ..ops.primes import ntt_primes
+    if n_devices % 4 or n_devices < 4:
+        return  # hybrid factorizations need a multiple of 4 devices
+    mesh_ep = distributed.hybrid_mesh(ici={"ep": 2}, simulate_hosts=2)
+    dryrun_rns(mesh_ep)
+    # sp tier: four-step NTT product at N=2^12 over a (dp-DCN, sp) mesh
+    mesh_sp = distributed.hybrid_mesh(ici={"sp": 2}, simulate_hosts=2)
+    q = ntt_primes(1, 30, 1 << 12)[0]
+    n = 4096
+    a = prng.uniform_mod(jax.random.PRNGKey(2), (n,), q)
+    b = prng.uniform_mod(jax.random.PRNGKey(3), (n,), q)
+    got = ntt_sharded.negacyclic_mul_sharded(a, b, q, mesh_sp, axis="sp")
+    want = rq.mul(a, b, q)
+    assert (np.asarray(got) == np.asarray(want)).all(), \
+        "hybrid-mesh four-step NTT mismatch"
+
+
 def dryrun(n_devices: int):
     """Compile + execute ONE full multi-chip step on tiny shapes, with real
-    dp/ep/sp/tp shardings, on an n_devices mesh."""
+    dp/ep/sp/tp shardings, on an n_devices mesh; then the 2-level
+    (DCN x ICI) multi-host layout at production ring sizes."""
     mesh = factor_mesh(n_devices)
     from ..arith.params import RingParam
     q = 2 ** 16 + 1
@@ -187,4 +237,5 @@ def dryrun(n_devices: int):
     ep_want = np.asarray(ntt.polymul_i64_crt(
         c1[0].astype(jnp.int64)[0], c2[0].astype(jnp.int64)[0]))
     assert (np.asarray(ep_prod) == ep_want).all(), "ep-sharded CRT mismatch"
+    dryrun_hybrid(n_devices)
     return mesh
