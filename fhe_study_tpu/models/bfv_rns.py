@@ -429,6 +429,101 @@ def mul(param: RnsParam, rlk: RLK, x: CT, y: CT) -> CT:
     return relinearize(param, rlk, c0, c1, c2)
 
 
+# -- eval-resident ciphertexts ------------------------------------------------
+#
+# The production form of the reference's lazy NTT-evals cache
+# (arith/src/ring_nq.rs:19-27): ciphertexts LIVE in the NTT domain over BOTH
+# RNS bases between homomorphic ops, so a multiply pays zero forward
+# transforms and zero operand extensions — per ct-mul the transform count
+# drops from 4L+4M+L^2 fwd + 3L+3M+2L inv (=87 at L=4, M=5) to
+# L^2+2L+2M fwd + 3L+3M+2L inv (=69), all inside fused kernels.
+
+class CTE(NamedTuple):
+    """Eval-domain resident ciphertext: canonical NTT-domain residues over
+    the Q basis ([L, ..., N]) and the P basis ([M, ..., N])."""
+    e0q: jax.Array
+    e1q: jax.Array
+    e0p: jax.Array
+    e1p: jax.Array
+
+
+def to_evals(param: RnsParam, c: CT) -> CTE:
+    """CT (coeff domain over Q) -> CTE: forward NTT over Q, then the
+    unsigned HPS extension + forward NTT over P (fused)."""
+    qs, ps = param.qs, param.ps
+    c = _lift(c)
+    x2 = jnp.stack([c.c0, c.c1], axis=-2)          # [L, ..., 2, n]
+    eq = ntt_multi(x2.reshape((param.L, -1, param.n)).astype(jnp.uint32), qs
+                   ).reshape(x2.shape)
+    ep = ntt.ext_ntt(x2.astype(jnp.uint32), qs, ps)
+    return CTE(eq[..., 0, :], eq[..., 1, :], ep[..., 0, :], ep[..., 1, :])
+
+
+def from_evals(param: RnsParam, ce: CTE) -> CT:
+    """CTE -> CT: inverse NTT over the Q basis (P evals are redundant)."""
+    qs = param.qs
+    x2 = jnp.stack([ce.e0q, ce.e1q], axis=-2)
+    r = intt_multi(x2.reshape((param.L, -1, param.n)).astype(jnp.uint32), qs
+                   ).reshape(x2.shape)
+    return CT(r[..., 0, :].astype(U64), r[..., 1, :].astype(U64))
+
+
+def add_e(param: RnsParam, x: CTE, y: CTE) -> CTE:
+    """Homomorphic add, eval domain (pointwise over both bases)."""
+    from ..ops import modops32
+    qv, _, _ = (jnp.asarray(c) for c in modops32.consts(param.qs, x.e0q.ndim))
+    pv, _, _ = (jnp.asarray(c) for c in modops32.consts(param.ps, x.e0p.ndim))
+    a32 = lambda a: a.astype(jnp.uint32)  # noqa: E731
+    return CTE(modops32.addmod(a32(x.e0q), a32(y.e0q), qv),
+               modops32.addmod(a32(x.e1q), a32(y.e1q), qv),
+               modops32.addmod(a32(x.e0p), a32(y.e0p), pv),
+               modops32.addmod(a32(x.e1p), a32(y.e1p), pv))
+
+
+def mul_e(param: RnsParam, rlk: RLK, x: CTE, y: CTE) -> CTE:
+    """Eval-resident ct x ct multiply + relinearization.  Bit-identical to
+    mul(from_evals(x), from_evals(y)) — same products, same HPS scaling,
+    same gadget relin — with every transform that the eval residency makes
+    redundant removed."""
+    qs, ps = param.qs, param.ps
+    q_bits = sum(math.log2(q) for q in qs)
+    p_bits = sum(math.log2(p) for p in ps)
+    need_p = math.log2(param.t) + math.log2(param.n) + q_bits + 2
+    assert p_bits > need_p and param.t <= (1 << 22), \
+        f"P basis too small: {p_bits:.0f} bits, need > {need_p:.0f}"
+    # 1. degree-2 products in the resident eval domain; INTTs fold t·
+    w_q = ntt.tensor_eval4(x.e0q, x.e1q, y.e0q, y.e1q, qs,
+                           scale=(param.t,) * len(qs))
+    w_p = ntt.tensor_eval4(x.e0p, x.e1p, y.e0p, y.e1p, ps,
+                           scale=(param.t,) * len(ps))
+    # 2. r = floor(t·v/Q) over P, then centered extension back to Q
+    Q = _basis(qs).prod
+    qinv = tuple(pow(Q, -1, p) for p in ps)
+    from ..ops.ntt import _pallas_ok
+    if all(_pallas_ok(q, param.n) for q in qs + ps):
+        from ..ops import ext_pallas
+        r_p = ext_pallas.base_extend_fused(w_q, qs, ps, w=w_p, sub_mul=qinv)
+    else:
+        from ..ops import modops32
+        mont = lambda v, q: (int(v % q) << 32) % q  # noqa: E731
+        qinvm = jnp.asarray(np.array([mont(v, p) for v, p in
+                                      zip(qinv, ps)], np.uint32))
+        nd = w_q.ndim
+        pv32, nq32p, _ = (jnp.asarray(c) for c in modops32.consts(ps, nd))
+        wq_in_p = fast_base_extend(w_q, qs, ps)
+        r_p = modops32.mont_mul(modops32.submod(w_p.astype(jnp.uint32),
+                                                wq_in_p, pv32),
+                                qinvm.reshape(pv32.shape), pv32, nq32p)
+    out3 = fast_base_extend(r_p, ps, qs, centered=True)
+    c0, c1, c2 = (out3[..., i, :] for i in range(3))
+    # 3. gadget relin emitting the result in BOTH domains (eval Q + coeff Q)
+    e0q, e1q, r0, r1 = ntt.ks_fused_eval(c2, rlk.b, rlk.a, qs, qs,
+                                         adds=(c0, c1))
+    # 4. re-enter the P basis: extend + forward NTT (fused)
+    ep = ntt.ext_ntt(jnp.stack([r0, r1], axis=-2), qs, ps)
+    return CTE(e0q, e1q, ep[..., 0, :], ep[..., 1, :])
+
+
 def ksk_key(key, param: RnsParam, sk_old: SecretKey, sk_new: SecretKey,
             batch=()):
     """Key-switching key: row i encrypts s_old·g_i under s_new (same RNS

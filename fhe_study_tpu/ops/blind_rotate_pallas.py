@@ -175,8 +175,13 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev2_ref, o_ref, acc_ref,
         hs.append(h)
         negs.append(negall)
     z1 = jnp.stack(z1s)                      # [B, C*2, rows, LANES]
-    hv = jnp.stack(hs).reshape(B, 1, 1, 1)
-    negv = jnp.stack(negs).reshape(B, 1, 1, 1)
+    # NB: broadcast_to + concat, NOT stack(scalars).reshape — a 1-D -> 4-D
+    # shape cast of an SMEM-scalar vector fails Mosaic layout inference
+    # ("infer-vector-layout: unsupported shape cast")
+    hv = jnp.concatenate(
+        [jnp.broadcast_to(h, (1, 1, 1, 1)) for h in hs], 0)
+    negv = jnp.concatenate(
+        [jnp.broadcast_to(g, (1, 1, 1, 1)) for g in negs], 0)
     rot, flipf = _rotate_neg_batch(z1, hv, negv, n, rows)
     rot = rot.reshape(B, C, 2, rows, LANES)
     flip = flipf[:, :1]                      # [B, 1, rows, LANES] all planes

@@ -385,6 +385,89 @@ def tensor_mul4(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
     return tensor_mul_multi(four, dst, scale=scale)
 
 
+def tensor_eval4(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None):
+    """Degree-2 tensor product of EVAL-domain operands ([Ld, ..., n]
+    canonical NTT-domain residues): returns [Ld, ..., 3, n] coeff-domain
+    scale*(x0y0, x0y1+x1y0, x1y1).  The eval-resident ct-mul path: no
+    forward transforms (the production form of the reference's evals
+    cache, arith/src/ring_nq.rs:19-27)."""
+    n = x0.shape[-1]
+    if n > 1 and all(_pallas_ok(p, n) for p in dst):
+        from . import ntt_pallas
+        return ntt_pallas.tensor_eval4_u32(
+            x0.astype(jnp.uint32), x1.astype(jnp.uint32),
+            y0.astype(jnp.uint32), y1.astype(jnp.uint32), dst, scale=scale)
+    from . import modops32
+    qv32, nqv32, r2v32 = (jnp.asarray(c)
+                          for c in modops32.consts(dst, x0.ndim))
+    e = [a.astype(jnp.uint32) for a in (x0, x1, y0, y1)]
+    my0 = modops32.to_mont(e[2], qv32, nqv32, r2v32)
+    my1 = modops32.to_mont(e[3], qv32, nqv32, r2v32)
+    prods = jnp.stack([
+        modops32.mont_mul(e[0], my0, qv32, nqv32),
+        modops32.addmod(modops32.mont_mul(e[0], my1, qv32, nqv32),
+                        modops32.mont_mul(e[1], my0, qv32, nqv32), qv32),
+        modops32.mont_mul(e[1], my1, qv32, nqv32)], axis=-2)
+    sc = tuple((1 if scale is None else int(scale[i])) % q
+               for i, q in enumerate(dst))
+    return intt_multi(prods, dst, scale=sc)
+
+
+def ext_ntt(x, src: tuple, dst: tuple):
+    """x: [Ls, ..., P, n] coeff-domain residues over src -> [Ld, ..., P, n]
+    canonical EVAL-domain residues over dst: unsigned HPS base extension
+    fused with the forward transforms."""
+    n = x.shape[-1]
+    if n > 1 and all(_pallas_ok(p, n) for p in dst + src):
+        from . import ntt_pallas
+        return ntt_pallas.ext_ntt_u32(x.astype(jnp.uint32), src, dst)
+    from ..models.bfv_rns import fast_base_extend
+    return ntt_multi(fast_base_extend(x.astype(jnp.uint32), src, dst), dst)
+
+
+def ks_fused_eval(c_limbs, kb, ka, primes: tuple, src_primes: tuple, adds):
+    """Eval-resident gadget key switch (relinearization): digits of c_limbs
+    [R, ..., n], keys [R, Lp, n] eval-domain, adds=(c0, c1) coeff-domain
+    [Lp, ..., n].  Returns (e0, e1, r0, r1):
+    e = NTT(c) + Σ_i NTT(d_i)·k_i (eval), r = INTT(e) (coeff) — the caller
+    re-enters the eval-resident representation without extra transforms."""
+    n = c_limbs.shape[-1]
+    R = c_limbs.shape[0]
+    Lp = len(primes)
+    if n > 1 and all(_pallas_ok(p, n) for p in primes) and kb.ndim == 3:
+        from . import ntt_pallas
+        return ntt_pallas.ks_fused_eval_u32(c_limbs, kb, ka, primes,
+                                            src_primes, adds)
+    from . import modops32
+    reps = (max(src_primes) - 1) // min(primes) + 1
+    prow = jnp.asarray(np.array(primes, np.uint32)).reshape(
+        (1, Lp) + (1,) * (c_limbs.ndim - 1))
+    d = jnp.broadcast_to(c_limbs.astype(jnp.uint32)[:, None],
+                         (R, Lp) + c_limbs.shape[1:])
+    for _ in range(reps):
+        d = jnp.where(d >= prow, d - prow, d)
+    edm = ntt_multi(d.reshape((R * Lp,) + d.shape[2:]), primes * R,
+                    mont=True).reshape(d.shape)
+    qv32, nqv32, _ = (jnp.asarray(c)[None]
+                      for c in modops32.consts(primes, edm.ndim - 1))
+    rb = _key_mid(kb, edm.ndim).astype(jnp.uint32)
+    ra = _key_mid(ka, edm.ndim).astype(jnp.uint32)
+    pb = modops32.mont_mul(rb, edm, qv32, nqv32)
+    pa = modops32.mont_mul(ra, edm, qv32, nqv32)
+    acc0, acc1 = pb[0], pa[0]
+    for i in range(1, R):
+        acc0 = modops32.addmod(acc0, pb[i], qv32[0])
+        acc1 = modops32.addmod(acc1, pa[i], qv32[0])
+    ea = ntt_multi(jnp.stack([a.astype(jnp.uint32) for a in adds], 0
+                             ).reshape((2 * Lp,) + adds[0].shape[1:]),
+                   primes * 2).reshape((2, Lp) + adds[0].shape[1:])
+    e0 = modops32.addmod(acc0, ea[0], qv32[0])
+    e1 = modops32.addmod(acc1, ea[1], qv32[0])
+    r0 = intt_multi(e0, primes)
+    r1 = intt_multi(e1, primes)
+    return e0, e1, r0, r1
+
+
 def _key_mid(k, ndim: int):
     """Align [R, Lp, n] key material against [R, Lp, batch.., n] digits."""
     if k.ndim == 3:

@@ -623,6 +623,182 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
 
 
 # ---------------------------------------------------------------------------
+# Eval-resident variants: ciphertexts that live in the NTT domain over BOTH
+# RNS bases (models/bfv_rns.py CTE) skip the 4 forward transforms + operand
+# extensions of every multiply (the production analog of the reference's
+# lazy evals cache, arith/src/ring_nq.rs:19-27).  Three kernels:
+#   * tensor_eval4_u32 — pointwise degree-2 products of eval-domain operands
+#     + the 3 inverse chains + scale epilogue (tensor_mul4 minus forwards).
+#   * ext_ntt_u32     — HPS base extension prologue + forward chains: coeff
+#     residues over src become eval residues over dst in one pass.
+#   * ks_fused_eval_u32 — the relinearization key switch emitting BOTH the
+#     eval-domain result (contraction + NTT(adds), no inverse) and the
+#     coeff-domain result (2 inverse chains), so the caller re-enters the
+#     eval-resident representation for free.
+# ---------------------------------------------------------------------------
+
+def _tensor_eval_kernel(consts_ref, x0_ref, x1_ref, y0_ref, y1_ref, tw_ref,
+                        o_ref, *, n, bb):
+    j = pl.program_id(0)
+    q = consts_ref[0, j]
+    fin = consts_ref[1, j]
+    fin_sh = consts_ref[2, j]
+    nqinv = consts_ref[3, j]
+    rows = n // LANES
+    logn = n.bit_length() - 1
+    x0 = x0_ref[...].reshape(bb, rows, LANES)
+    x1 = x1_ref[...].reshape(bb, rows, LANES)
+    y0 = y0_ref[...].reshape(bb, rows, LANES)
+    y1 = y1_ref[...].reshape(bb, rows, LANES)
+    p1 = _addmod_dyn(_mont_mul_dyn(x0, y1, q, nqinv),
+                     _mont_mul_dyn(x1, y0, q, nqinv), q)
+    x = jnp.stack([_mont_mul_dyn(x0, y0, q, nqinv), p1,
+                   _mont_mul_dyn(x1, y1, q, nqinv)],
+                  axis=1).reshape(3 * bb, rows, LANES)
+    for s in range(logn):                      # GS inverse, all 3 products
+        t = 1 << s
+        tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
+        twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+        y = _swap_xor_t(x, t, rows)
+        first = _first_half_mask(x.shape, t)
+        diff = _submod_dyn(y, x, q)
+        x = jnp.where(first, _addmod_dyn(x, y, q),
+                      _shoup_mul(diff, tw, twp, q))
+    x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
+                   jnp.full_like(x, 1) * fin_sh, q)
+    o_ref[...] = x.reshape(1, bb, 3, n)
+
+
+def tensor_eval4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
+                     interpret: bool | None = None):
+    """Degree-2 tensor product of EVAL-domain operands: x*, y* are
+    [Ld, ..., n] canonical NTT-domain residues mod dst[j].  Returns
+    [Ld, ..., 3, n] coefficient-domain scale*(x0y0, x0y1+x1y0, x1y1)."""
+    n = x0.shape[-1]
+    Ld = len(dst)
+    assert x0.shape[0] == Ld and n >= LANES and n % LANES == 0
+    batch = x0.shape[1:-1]
+    ins = [a.reshape((Ld, -1, 1, n)).astype(jnp.uint32)
+           for a in (x0, x1, y0, y1)]
+    B = ins[0].shape[1]
+    bb = max(1, min(B, (1 << 19) // (4 * n * 4)))
+    while B % bb:
+        bb -= 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    cons = _tensor4_consts(dst, n, scale, None)
+    tw = _dual_tw(dst, n)[:, 1:]               # inverse plane only
+    logn = n.bit_length() - 1
+    kern = partial(_tensor_eval_kernel, n=n, bb=bb)
+    x_spec = pl.BlockSpec((1, bb, 1, n), lambda p, i, *_: (p, i, 0 * p, 0 * p))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Ld, B // bb),
+        in_specs=[x_spec] * 4 + [
+            pl.BlockSpec((1, 1, 2, logn, n),
+                         lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
+        ],
+        out_specs=pl.BlockSpec((1, bb, 3, n),
+                               lambda p, i, *_: (p, i, 0 * p, 0 * p)),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Ld, B, 3, n), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(cons), *ins, jnp.asarray(tw))
+    return out.reshape((Ld,) + batch + (3, n))
+
+
+def _ext_ntt_kernel(consts_ref, x_ref, tw_ref, o_ref, *, n, bb, P, src,
+                    him, snq, cfix):
+    """Extend P coeff-domain polys (all Ls src rows resident) to dst prime j
+    (unsigned HPS) and forward-transform them — one pass."""
+    j = pl.program_id(0)
+    q = consts_ref[0, j]
+    nqinv = consts_ref[3, j]
+    rows = n // LANES
+    logn = n.bit_length() - 1
+    Ls = len(src)
+    xin = x_ref[...].reshape(Ls, bb * P, rows, LANES)
+    ys = []
+    tlo = None
+    thi = None
+    for i, s_p in enumerate(src):
+        y = _mont_mul(xin[i], U32(int(him[i])), s_p, int(snq[i]))
+        ys.append(y)
+        hi, lo = _mul32_wide(y, U32(int(cfix[i])))
+        if tlo is None:
+            tlo, thi = lo, hi
+        else:
+            nlo = tlo + lo
+            thi = thi + hi + (nlo < lo).astype(U32)
+            tlo = nlo
+    al = thi >> U32(27)                        # floor α, unsigned contract
+    acc = None
+    for i in range(Ls):
+        term = _mont_mul_dyn(ys[i], consts_ref[4 + i, j], q, nqinv)
+        acc = term if acc is None else _addmod_dyn(acc, term, q)
+    corr = _mont_mul_dyn(al, consts_ref[4 + Ls, j], q, nqinv)
+    x = _submod_dyn(acc, corr, q)              # [bb*P, rows, LANES]
+    for s in range(logn):                      # CT forward
+        t = n >> (s + 1)
+        tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
+        twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+        y = _swap_xor_t(x, t, rows)
+        first = _first_half_mask(x.shape, t)
+        p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
+        x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
+    o_ref[...] = x.reshape(1, bb, P, n)
+
+
+def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None):
+    """x: [Ls, ..., P, n] coeff-domain residues over src -> [Ld, ..., P, n]
+    canonical EVAL-domain residues over dst (extension + forward NTT,
+    one fused pass; the extended coefficients never exist in HBM)."""
+    n = x.shape[-1]
+    P = x.shape[-2]
+    Ls, Ld = len(src), len(dst)
+    assert x.shape[0] == Ls and n >= LANES and n % LANES == 0
+    batch = x.shape[1:-2]
+    xb = x.reshape((Ls, -1, P, n)).astype(jnp.uint32)
+    B = xb.shape[1]
+    bb = max(1, min(B, (1 << 18) // (P * n * 4)))
+    while B % bb:
+        bb -= 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    cons = _tensor4_consts(dst, n, None, src)
+    him = tuple((pow((int(np.prod(np.array(src, object))) // s) % s,
+                     -1, s) << 32) % s for s in src)
+    snq = tuple(_mont32_consts(s)[0] for s in src)
+    cfix = tuple((1 << 59) // s for s in src)
+    tw = _dual_tw(dst, n)[:, :1]               # forward plane only
+    logn = n.bit_length() - 1
+    kern = partial(_ext_ntt_kernel, n=n, bb=bb, P=P, src=src, him=him,
+                   snq=snq, cfix=cfix)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Ld, B // bb),
+        in_specs=[
+            pl.BlockSpec((Ls, bb, P, n),
+                         lambda p, i, *_: (0 * p, i, 0 * p, 0 * p)),
+            pl.BlockSpec((1, 1, 2, logn, n),
+                         lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
+        ],
+        out_specs=pl.BlockSpec((1, bb, P, n),
+                               lambda p, i, *_: (p, i, 0 * p, 0 * p)),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Ld, B, P, n), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(cons), xb, jnp.asarray(tw))
+    return out.reshape((Ld,) + batch + (P, n))
+
+
+# ---------------------------------------------------------------------------
 # Fused gadget key-switch contraction: the hot path of relinearization,
 # hybrid key switching, and every Galois rotation (reference key_switch:
 # gfhe/src/glwe.rs:126-137; relin: bfv/src/lib.rs:251-271).
@@ -790,6 +966,133 @@ def ks_fused_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
                    primes, True, reps, interpret, adds=adds)
     r = out.reshape((Lp,) + batch + (2, n))
     return r[..., 0, :], r[..., 1, :]
+
+
+def _ks_eval_kernel(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, a_ref, o_ref,
+                    *, n, R, bb, reps):
+    """Relinearization step for EVAL-RESIDENT ciphertexts: digit reduction,
+    forward NTT of the R digit rows AND the two add operands (c0, c1), key
+    contraction, eval-domain adds, and the 2 inverse chains — emits the
+    result in BOTH domains: rows (e0, e1, c0', c1')."""
+    q = consts_ref[0, pl.program_id(0)]
+    fin = consts_ref[1, pl.program_id(0)]      # plain n^-1 (R folded below)
+    fin_sh = consts_ref[2, pl.program_id(0)]
+    nqinv = consts_ref[3, pl.program_id(0)]
+    rl = consts_ref[4, pl.program_id(0)]       # 2^32 mod q: re-lifts the
+    rl_sh = consts_ref[5, pl.program_id(0)]    # x*k*R^-1 contraction
+    rows = n // LANES
+    logn = n.bit_length() - 1
+    x = x_ref[...].reshape(bb * R, rows, LANES)
+    for _ in range(reps):                      # limb residue -> mod q_j
+        x = jnp.where(x >= q, x - q, x)
+    a = a_ref[...].reshape(bb * 2, rows, LANES)
+    x = jnp.concatenate([x, a], 0)             # digits + adds, one fwd pass
+    for s in range(logn):
+        t = n >> (s + 1)
+        tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
+        twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+        y = _swap_xor_t(x, t, rows)
+        first = _first_half_mask(x.shape, t)
+        p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
+        x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
+    xr = x[: bb * R].reshape(bb, R, rows, LANES)
+    ea = x[bb * R:].reshape(bb, 2, rows, LANES)
+    kb = jnp.broadcast_to(kb_ref[...].reshape(1, R, rows, LANES), xr.shape)
+    ka = jnp.broadcast_to(ka_ref[...].reshape(1, R, rows, LANES), xr.shape)
+    pb = _mont_mul_dyn(xr, kb, q, nqinv)
+    pa = _mont_mul_dyn(xr, ka, q, nqinv)
+    acc0, acc1 = pb[:, 0], pa[:, 0]
+    for i in range(1, R):
+        acc0 = _addmod_dyn(acc0, pb[:, i], q)
+        acc1 = _addmod_dyn(acc1, pa[:, i], q)
+    # eval-domain result: re-lift the Montgomery contraction and add NTT(c)
+    e0 = _addmod_dyn(_shoup_mul(acc0, jnp.full_like(acc0, 1) * rl,
+                                jnp.full_like(acc0, 1) * rl_sh, q),
+                     ea[:, 0], q)
+    e1 = _addmod_dyn(_shoup_mul(acc1, jnp.full_like(acc1, 1) * rl,
+                                jnp.full_like(acc1, 1) * rl_sh, q),
+                     ea[:, 1], q)
+    x = jnp.stack([e0, e1], axis=1).reshape(bb * 2, rows, LANES)
+    for s in range(logn):                      # GS inverse -> coeff result
+        t = 1 << s
+        tw = tw_ref[0, 1, 0, s, :].reshape(1, rows, LANES)
+        twp = tw_ref[0, 1, 1, s, :].reshape(1, rows, LANES)
+        y = _swap_xor_t(x, t, rows)
+        first = _first_half_mask(x.shape, t)
+        diff = _submod_dyn(y, x, q)
+        x = jnp.where(first, _addmod_dyn(x, y, q),
+                      _shoup_mul(diff, tw, twp, q))
+    x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
+                   jnp.full_like(x, 1) * fin_sh, q)
+    out = jnp.concatenate([jnp.stack([e0, e1], 1), x.reshape(bb, 2, rows, LANES)],
+                          1)
+    o_ref[...] = out.reshape(1, bb, 4, n)
+
+
+@lru_cache(maxsize=None)
+def _ks_eval_consts(qs: tuple, n: int):
+    cons = np.zeros((6, len(qs)), np.uint32)
+    for i, q in enumerate(qs):
+        ninv = int(_stage_tables(q, n)[2][0])
+        r = (1 << 32) % q
+        cons[0, i] = q
+        cons[1, i] = ninv                      # plain: R folded via rows 4/5
+        cons[2, i] = (ninv << 32) // q
+        cons[3, i] = _mont32_consts(q)[0]
+        cons[4, i] = r
+        cons[5, i] = (r << 32) // q
+    return cons
+
+
+def ks_fused_eval_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
+                      adds, interpret: bool | None = None):
+    """Eval-resident relinearization: c_limbs [R, ..., n] digit residues,
+    kb/ka [R, Lp, n] eval-domain keys, adds=(c0, c1) coeff-domain
+    [Lp, ..., n].  Returns (e0, e1, r0, r1), each [Lp, ..., n]:
+    e = NTT(c) + sum_i NTT(d_i)*k_i (eval domain), r = INTT(e) (coeff)."""
+    R = c_limbs.shape[0]
+    n = c_limbs.shape[-1]
+    Lp = len(primes)
+    assert kb.shape == ka.shape == (R, Lp, n)
+    batch = c_limbs.shape[1:-1]
+    xb = jnp.moveaxis(c_limbs.reshape((R, -1, n)), 0, 1).astype(jnp.uint32)
+    B = xb.shape[0]
+    av = jnp.stack([a.reshape((Lp, -1, n)) for a in adds], 2
+                   ).astype(jnp.uint32)        # [Lp, B, 2, n]
+    reps = (max(src_primes) - 1) // min(primes) + 1
+    bb = max(1, min(B, (1 << 19) // (R * n * 4)))
+    while B % bb:
+        bb -= 1
+    if interpret is None:
+        interpret = not _on_tpu()
+    cons = _ks_eval_consts(primes, n)
+    tw = _dual_tw(primes, n)
+    logn = n.bit_length() - 1
+    kern = partial(_ks_eval_kernel, n=n, R=R, bb=bb, reps=reps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Lp, B // bb),
+        in_specs=[
+            pl.BlockSpec((bb, R, n), lambda p, i, *_: (i, 0 * p, 0 * p)),
+            pl.BlockSpec((1, 2, 2, logn, n),
+                         lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
+            pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
+            pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
+            pl.BlockSpec((1, bb, 2, n), lambda p, i, *_: (p, i, 0 * p, 0 * p)),
+        ],
+        out_specs=pl.BlockSpec((1, bb, 4, n),
+                               lambda p, i, *_: (p, i, 0 * p, 0 * p)),
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((Lp, B, 4, n), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(jnp.asarray(cons), xb, jnp.asarray(tw),
+      jnp.moveaxis(kb, 0, 1).astype(jnp.uint32),
+      jnp.moveaxis(ka, 0, 1).astype(jnp.uint32), av)
+    r = out.reshape((Lp,) + batch + (4, n))
+    return (r[..., 0, :], r[..., 1, :], r[..., 2, :], r[..., 3, :])
 
 
 def ks_contract_u32(edm, kb, ka, primes: tuple,

@@ -103,6 +103,42 @@ def test_ct_mul_relin():
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(want))
 
 
+def test_eval_resident_mul_matches_mul():
+    """mul_e on eval-resident ciphertexts is bit-identical to mul, and a
+    depth-2 chain (mul_e -> add_e -> mul_e) decrypts correctly without ever
+    leaving the NTT domain."""
+    param = R.RnsParam(n=256, t=4, L=4, M=5)
+    ks = prng.split(jax.random.PRNGKey(7), 8)
+    B = 2
+    sk, pk = R.new_key(ks[0], param)
+    rlk = R.rlk_key(ks[1], param, sk)
+    ms = [prng.uniform_mod(ks[2 + i], (B, param.n), param.t) for i in range(2)]
+    cts = [R.encrypt(ks[4 + i], param, pk, ms[i], batch=(B,)) for i in range(2)]
+
+    ref = R.mul(param, rlk, cts[0], cts[1])
+    ces = [R.to_evals(param, c) for c in cts]
+    ce = R.mul_e(param, rlk, ces[0], ces[1])
+    got = R.from_evals(param, ce)
+    np.testing.assert_array_equal(np.asarray(got.c0),
+                                  np.asarray(R._lift(ref).c0))
+    np.testing.assert_array_equal(np.asarray(got.c1),
+                                  np.asarray(R._lift(ref).c1))
+
+    # round trip: to_evals∘from_evals = id on the Q components
+    rt = R.from_evals(param, R.to_evals(param, cts[0]))
+    np.testing.assert_array_equal(np.asarray(rt.c0),
+                                  np.asarray(R._lift(cts[0]).c0))
+
+    # depth-2 chain entirely eval-resident: ((m1·m2) + m1) · m2
+    ce2 = R.mul_e(param, rlk, R.add_e(param, ce, ces[0]), ces[1])
+    rec = R.decrypt(param, sk, R.from_evals(param, ce2))
+    w1 = _naive_pt_mul(ms[0], ms[1], param.t, param.n)
+    w2 = _naive_pt_mul(
+        modops.coerce_u64(w1.astype(jnp.int64) + ms[0].astype(jnp.int64),
+                          param.t), ms[1], param.t, param.n)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(w2))
+
+
 def test_ct_mul_depth2_with_mod_switch():
     """(m1·m2)·m3 with a modulus drop between — noise management works."""
     param = R.RnsParam(n=256, t=4, L=4, M=5)
