@@ -167,6 +167,76 @@ def bench_tfhe():
     }))
 
 
+def bench_tfhe_prod():
+    """bootstraps/s at a PRODUCTION parameter set: short-LWE keyswitch-first
+    pipeline (n_lwe=700 CMux steps instead of k*N=1024; the layout real TFHE
+    deployments use — BASELINE config 5's headline)."""
+    import numpy as np
+    from fhe_study_tpu.arith import RingParam
+    from fhe_study_tpu.arith.params import TORUS_Q
+    from fhe_study_tpu.models.gfhe.glwe import Param, ERR_SIGMA
+    from fhe_study_tpu.models.tfhe import tlwe, tglwe, bootstrap
+
+    n = int(os.environ.get("FHE_BENCH_N", 1024))
+    n_lwe = int(os.environ.get("FHE_BENCH_NLWE", 700))
+    t = int(os.environ.get("FHE_BENCH_T", 8))
+    B = int(os.environ.get("FHE_BENCH_B", 64))
+    iters = int(os.environ.get("FHE_BENCH_ITERS", 1))
+    beta, l = 256, 3
+    beta_ks, l_ks = 16, 8
+
+    param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
+    key = jax.random.PRNGKey(0)
+    ks = prng.split(key, 3)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        table = bootstrap.compute_lookup_table_standard(param)
+        s, _ = tglwe.new_key(ks[0], param)
+        s_flat = tglwe.sk_to_tlwe(s)
+        sbtk = bootstrap.new_short_bootstrapping_key(
+            ks[1], param, s, n_lwe=n_lwe, beta=beta, l=l,
+            beta_ks=beta_ks, l_ks=l_ks)
+        m = jnp.arange(B, dtype=jnp.uint64) % jnp.uint64(t // 2)
+        c = tlwe.encrypt_uniform(ks[2], param.lwe(), s_flat,
+                                 tlwe.encode(param, m), batch=(B,))
+        btk_evals = bootstrap.precompute_btk_evals(
+            param, bootstrap.BootstrappingKey(
+                btk_a=sbtk.btk_a, btk_b=sbtk.btk_b,
+                ksk_a=sbtk.ksk_a, ksk_b=sbtk.ksk_b))
+    dev = jax.devices()[0]
+    table, sbtk, btk_evals, c = jax.tree.map(
+        lambda x: jax.device_put(x, dev), (table, sbtk, btk_evals, c))
+
+    def _bs(ca, cb, sbtk_, table_, ev_):
+        return bootstrap.bootstrap_short(
+            param, sbtk_, table_, tlwe.TLWE(ca, cb), beta=beta, l=l,
+            beta_ks=beta_ks, l_ks=l_ks, btk_evals=ev_)
+
+    bs_jit = jax.jit(_bs)
+    bs = lambda ca, cb: bs_jit(ca, cb, sbtk, table, btk_evals)  # noqa: E731
+    out = bs(c.a, c.b)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = bs(c.a, c.b)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    with jax.default_device(cpu):
+        out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), out)
+        rec = tlwe.decode(param, tlwe.decrypt(
+            param.lwe(), s_flat, tlwe.TLWE(out_cpu[0], out_cpu[1])))
+    ok = bool((np.asarray(rec) == np.asarray(m)).all())
+    value = B * iters / dt
+    print(json.dumps({
+        "metric": f"tfhe_bootstrap_short_n{n}_nlwe{n_lwe}_per_sec_per_chip"
+                  + ("" if ok else "_DECRYPT_FAIL"),
+        "value": round(value, 3),
+        "unit": "bootstraps/s",
+        "vs_baseline": round(value / 62500.0, 6),
+    }))
+
+
 def bench_bfv_linear():
     """BASELINE config 2: encrypt/add/pt-mul, N=2^12, 1K-ciphertext batch."""
     import numpy as np
@@ -385,6 +455,10 @@ def bench_bfv():
         lambda x: jax.device_put(x, dev), (rlk, c1, c2))  # sk stays on CPU
 
     chain = int(os.environ.get("FHE_BENCH_CHAIN", 8))
+    # eval-resident (NTT-domain) ciphertexts are the production multiply
+    # path: mul_e skips all operand forward transforms (FHE_BENCH_EVAL=0
+    # benches the legacy coefficient-domain R.mul chain instead)
+    evalres = os.environ.get("FHE_BENCH_EVAL", "1") == "1"
 
     def _mul_chain(x0, x1, y0, y1, rb, ra):
         # `chain` full multiplies per dispatch, each feeding the next
@@ -401,9 +475,29 @@ def bench_bfv():
                                    length=chain - 1)
         return o0, o1
 
-    mul_jit = jax.jit(lambda x0, x1, y0, y1, rb, ra: R.mul(
-        param, R.RLK(rb, ra), R.CT(x0, x1), R.CT(y0, y1)))
-    chain_jit = jax.jit(_mul_chain)
+    def _mul_chain_e(x0, x1, y0, y1, rb, ra):
+        # eval-resident chain: operands enter the NTT domain ONCE; every
+        # link is a full mul_e (products + scale + relin + P re-entry).
+        # UNROLLED (not lax.scan): the scan carry forces layout copies of
+        # the ~150 MB CTE tuple per link — measured ~35% slower than the
+        # unrolled graph at chain=8.
+        ye = R.to_evals(param, R.CT(y0, y1))
+        ce = R.to_evals(param, R.CT(x0, x1))
+        for _ in range(chain):
+            ce = R.mul_e(param, R.RLK(rb, ra), ce, ye)
+        r = R.from_evals(param, ce)
+        return r.c0, r.c1
+
+    if evalres:
+        mul_jit = jax.jit(lambda x0, x1, y0, y1, rb, ra: tuple(
+            R.from_evals(param, R.mul_e(
+                param, R.RLK(rb, ra), R.to_evals(param, R.CT(x0, x1)),
+                R.to_evals(param, R.CT(y0, y1))))))
+        chain_jit = jax.jit(_mul_chain_e)
+    else:
+        mul_jit = jax.jit(lambda x0, x1, y0, y1, rb, ra: R.mul(
+            param, R.RLK(rb, ra), R.CT(x0, x1), R.CT(y0, y1)))
+        chain_jit = jax.jit(_mul_chain)
     mul = lambda x0, x1, y0, y1: mul_jit(x0, x1, y0, y1, rlk.b, rlk.a)  # noqa: E731
     probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
     args = (c1.c0, c1.c1, c2.c0, c2.c1)
@@ -438,10 +532,13 @@ def bench_bfv():
     ok = bool((np.asarray(rec) == np.asarray(want)).all())
 
     value = B * chain * iters / dt
-    # butterfly accounting for the roofline fraction: the ct-mul pipeline
-    # runs 4L+4M+L^2 forward + 3L+3M+2L inverse transforms of size n
+    # butterfly accounting for the roofline fraction: the coeff-domain
+    # ct-mul pipeline runs 4L+4M+L^2 forward + 3L+3M+2L inverse transforms
+    # of size n; the eval-resident mul_e drops the operand forwards to
+    # L^2+2L+2M (relin digits + NTT(adds) + P re-entry)
     logn = n.bit_length() - 1
-    n_tr = (4 * L + 4 * M + L * L) + (3 * L + 3 * M + 2 * L)
+    fwd = (L * L + 2 * L + 2 * M) if evalres else (4 * L + 4 * M + L * L)
+    n_tr = fwd + (3 * L + 3 * M + 2 * L)
     bf_per_mul = n_tr * logn * (n // 2)
     bf_s = value * bf_per_mul
     extra = {"butterflies_per_sec": round(bf_s, 0)}
@@ -467,6 +564,7 @@ def main():
         "bfv_linear": bench_bfv_linear,
         "ckks": bench_ckks,
         "tfhe": bench_tfhe,
+        "tfhe_prod": bench_tfhe_prod,
         "ckks_boot": bench_ckks_boot,
     }
     if kind != "all":

@@ -106,7 +106,8 @@ def freeze(keys: BootstrapKeys):
         "rot": dict(keys.rotkeys().keys),
         "em": {k: p.em for k, p in keys._plans.items()},
     }
-    static = {k: (p.n1, frozenset(p.need_d), frozenset(p.need_e), p.maps)
+    static = {k: (p.n1, frozenset(p.need_d), frozenset(p.need_e), p.maps,
+                  p.pt_levels)
               for k, p in keys._plans.items()}
     bad = [x for x in jax.tree.leaves(arrays) if isinstance(x, jax.core.Tracer)]
     assert not bad, ("tracer leaked into bootstrap key caches — build keys "
@@ -124,8 +125,8 @@ class FrozenKeys:
         self._rlk = arrays["rlk"]
         self._rot = ev.RotKeys(arrays["rot"])
         self._plans = {
-            k: ev.RmapPlan(n1, set(nd), set(ne), maps, arrays["em"][k])
-            for k, (n1, nd, ne, maps) in static.items()}
+            k: ev.RmapPlan(n1, set(nd), set(ne), maps, arrays["em"][k], pl)
+            for k, (n1, nd, ne, maps, pl) in static.items()}
 
     def rlks(self):
         return self._rlk
@@ -155,6 +156,38 @@ def mod_raise(param_boot, ct_l1):
     return ckks_rns.CT(raise_one(ct_l1.c0), raise_one(ct_l1.c1))
 
 
+def mod_raise2(param_boot, ct_l2):
+    """Double-base ModRaise: level-2 residues (mod q0 and q1) -> full
+    basis.  2-limb Garner lift v = v0 + q0·((v1 − v0)·q0^{-1} mod q1)
+    ∈ [0, Q0), Q0 = q0·q1 < 2^61 (exact u64), then the centered
+    representative re-reduced per prime.  Output phase = m + Q0·I.
+
+    The point (see bootstrap(base_limbs=2)): the refreshed precision is
+    delta0 / (additive KS+rescale noise ~2^8), and delta0 is capped by the
+    ModRaise base (|m| << Q0).  A single ~30-bit prime caps delta0 at
+    ~2^24 -> ~16 bits; the 2-limb base lifts delta0 to ~2^45."""
+    qs = param_boot.qs
+    q0, q1 = qs[0], qs[1]
+    Q0 = q0 * q1
+    inv01 = pow(q0, -1, q1)
+
+    def raise_one(c):
+        v0 = c[0]                                   # [., n] mod q0
+        v1 = c[1]
+        d = (v1 + U64(q1) - v0 % U64(q1)) % U64(q1)
+        t = (d * U64(inv01)) % U64(q1)              # < 2^62: exact u64
+        v = v0 + U64(q0) * t                        # exact: < q0*q1 < 2^61
+        neg = v > U64(Q0 // 2)
+        out = []
+        for qj in qs:
+            pos = v % U64(qj)
+            vneg = (U64(qj) - ((U64(Q0) - v) % U64(qj))) % U64(qj)
+            out.append(jnp.where(neg, vneg, pos))
+        return jnp.stack(out, 0)
+
+    return ckks_rns.CT(raise_one(ct_l2.c0), raise_one(ct_l2.c1))
+
+
 @lru_cache(maxsize=None)
 def _cos_taylor_even(deg: int, vmax: float):
     """cos(vmax*w) = sum_j c_j (w^2)^j, j = 0..deg/2 (exact even Taylor)."""
@@ -164,28 +197,47 @@ def _cos_taylor_even(deg: int, vmax: float):
     return tuple(out)
 
 
-def _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w):
-    """ModRaise + C2S (twist folded) + affine shift -> [(ct, param)] x 2."""
+def _base(param_boot, base_limbs: int) -> int:
+    """The ModRaise base modulus: q0 (classic) or q0·q1 (double-base)."""
+    Q0 = 1
+    for q in param_boot.qs[:base_limbs]:
+        Q0 *= q
+    return Q0
+
+
+def _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w,
+                     base_limbs: int = 1):
+    """ModRaise + C2S (twist folded) + affine shift -> [(ct, param)] x 2.
+
+    base_limbs=2: the double-base pipeline — the raised phases t reach
+    K·Q0 ~ 2^63, so a one-prime diagonal encoding (rounding ~2^-30
+    relative) would leak ~2^33 of absolute w-phase error; a TWO-prime
+    plaintext scale (integer magnitude ~2^52, still inside both i64 and
+    f64-exact range since a·delta_w·A ~ 2^-8) keeps the rounding ~2^8
+    absolute against the 2^60 w-phase.  The matvec consumes 2 levels."""
     n = param_boot.n
-    q0 = param_boot.qs[0]
+    Q0 = _base(param_boot, base_limbs)
     rk = keys.rotkeys()
-    ct = mod_raise(param_boot, ct_l1)
+    ct = (mod_raise(param_boot, ct_l1) if base_limbs == 1
+          else mod_raise2(param_boot, ct_l1))
     vmax = (2 * math.pi * (K + 0.5) + math.pi / 2) / (1 << r)
-    a = 2 * math.pi / (q0 * (1 << r) * vmax)
+    a = 2 * math.pi / (Q0 * (1 << r) * vmax)
     b = (-math.pi / 2) / ((1 << r) * vmax)
     (A1, B1), (A2, B2) = ev._c2s_matrices(n)
     scale_fold = a * delta_w
+    pt_levels = 1 if base_limbs == 1 else 2
     p_unit = ckks_rns.Param(n=n, L=param_boot.L, delta=1.0,
                             prime_bits=param_boot.prime_bits)
-    pkey = ("c2s", param_boot.L, K, r, delta_w)
+    pkey = ("c2s", param_boot.L, K, r, delta_w, base_limbs)
     if pkey not in keys._plans:
         keys._plans[pkey] = ev.build_rmap_plan(
             p_unit, [(A1 * scale_fold, B1 * scale_fold),
-                     (A2 * scale_fold, B2 * scale_fold)])
+                     (A2 * scale_fold, B2 * scale_fold)],
+            pt_levels=pt_levels)
     cs, _ = ev.apply_rmap_plan(p_unit, rk, ct, keys._plans[pkey])
     outs = []
     for c_ in cs:
-        p_ = ckks_rns.Param(n=n, L=param_boot.L - 1, delta=delta_w,
+        p_ = ckks_rns.Param(n=n, L=param_boot.L - pt_levels, delta=delta_w,
                             prime_bits=param_boot.prime_bits)
         c_ = poly.add_pt_const(p_, c_, b * 1.0)
         outs.append((c_, p_))
@@ -225,38 +277,65 @@ def _stage_evalmod(keys, c_, p_, K, r, deg, double=False, arcsin_terms=2):
     return peval(rlks, cosv, pc, _arcsin_coeffs(arcsin_terms))
 
 
-def _stage_s2c(param_boot, keys, halves, delta0, double=False):
-    """S2C scaled by q0/(2 pi), combine halves, final rescale (two drops
-    when the working scale is a double-prime: delta_w*delta0/(q*q') ~ delta0)."""
+def _stage_s2c(param_boot, keys, halves, delta0, double=False,
+               drops: int | None = None, base_limbs: int = 1):
+    """S2C scaled by q0/(2 pi), combine halves, final rescale.
+
+    `drops` controls how many primes the final rescale removes:
+      * single mode: 1 (delta_sin ~ one prime -> output scale ~ delta0).
+      * double mode default: 1, NOT 2 — the output stays at the
+        double-prime scale ~ delta0*q' (~2^54).  Rescaling all the way to
+        delta0 would floor the refreshed precision at
+        log2(delta0) - log2(KS/rescale noise) ~ 15 bits (measured,
+        scripts/debug_boot_hp_s2c.py: the S2C matvec itself is 45-bit
+        accurate pre-rescale); at the double-prime scale the additive
+        noise sits ~46 bits below the scale and EvalMod's approximation
+        error becomes the limiter.  Downstream arithmetic uses the
+        double-prime toolkit (poly.mul_ct2 etc.), same as EvalMod itself.
+      * drops=2 restores the to-delta0 behavior when scale compatibility
+        with single-prime consumers matters more than precision."""
     n = param_boot.n
-    q0 = param_boot.qs[0]
+    Q0 = _base(param_boot, base_limbs)
     rk = keys.rotkeys()
     (s1, p1), (s2, p2) = halves
     L = min(p1.L, p2.L)
     s1, p1 = poly.level_drop(p1, s1, L)
     s2, p2 = poly.level_drop(p2, s2, L)
     D1, D2 = ev._s2c_matrices(n)
-    fold = q0 / (2 * math.pi)
+    # base_limbs=1: fold Q0/(2pi) numerically so the output scale lands at
+    # ~delta_sin*delta0.  base_limbs=2: Q0/(2pi) ~ 2^57 would overflow the
+    # f64/i64 encoding path — fold NOTHING and carry the factor in the
+    # output Param.delta instead (scale is metadata in CKKS; the phase
+    # stays ~delta_sin*2pi*delta0/Q0*msg ~ 2^48*msg, far above the ~2^8
+    # additive noise floor).
+    fold = Q0 / (2 * math.pi) if base_limbs == 1 else 1.0
+    pt_levels = 1 if base_limbs == 1 else 2
     for tag, D in (("s2c1", D1), ("s2c2", D2)):
-        if (tag, L) not in keys._plans:
-            keys._plans[(tag, L)] = ev.build_rmap_plan(
+        if (tag, L, base_limbs) not in keys._plans:
+            keys._plans[(tag, L, base_limbs)] = ev.build_rmap_plan(
                 ckks_rns.Param(n=n, L=L, delta=1.0,
                                prime_bits=param_boot.prime_bits),
-                [(D * fold, None)])
-    (c1,), pf = ev.apply_rmap_plan(p1, rk, s1, keys._plans[("s2c1", L)])
+                [(D * fold, None)], pt_levels=pt_levels)
+    (c1,), pf = ev.apply_rmap_plan(p1, rk, s1,
+                                   keys._plans[("s2c1", L, base_limbs)])
     (c2,), _ = ev.apply_rmap_plan(
         ckks_rns.Param(n=n, L=L, delta=p2.delta,
                        prime_bits=param_boot.prime_bits),
-        rk, s2, keys._plans[("s2c2", L)])
+        rk, s2, keys._plans[("s2c2", L, base_limbs)])
     out = ckks_rns.add(pf, c1, c2)
-    # phase = delta_sin * (q0/2pi) * sin(2 pi t / q0) ~ delta_sin * (t mod q0)
-    # with t's message at scale delta0 -> effective scale delta_sin * delta0
-    pout = ckks_rns.Param(n=n, L=pf.L, delta=pf.delta * delta0,
+    # phase = delta_sin * fold * sin(2 pi t / Q0)
+    #       ~ delta_sin * fold * (2 pi / Q0) * delta0 * msg
+    out_delta = (pf.delta * delta0 if base_limbs == 1       # fold cancels
+                 else pf.delta * (2 * math.pi / Q0) * delta0)
+    pout = ckks_rns.Param(n=n, L=pf.L, delta=out_delta,
                           prime_bits=param_boot.prime_bits)
-    # final rescale: drop the working-scale factor (delta_sin ~ one prime,
-    # or two in double mode) so the output sits near the INPUT scale and
-    # further multiplications do not overflow the remaining modulus
-    for _ in range(2 if double else 1):
+    # final rescale: see the docstring — by default one drop in the classic
+    # base (double mode intentionally keeps one working-scale prime in
+    # delta) and ZERO drops in the double base (its output delta is already
+    # ~2^48; a drop would push it below the additive noise floor)
+    if drops is None:
+        drops = 1 if base_limbs == 1 else 0
+    for _ in range(drops):
         out, _ = ckks_rns.rescale(pout, out)
         pout = ckks_rns.Param(n=n, L=pout.L - 1,
                               delta=pout.delta / pout.qs[pout.L - 1],
@@ -273,7 +352,8 @@ def _is_double(delta_w: float, double):
 def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
               K: int = 7, r: int = 3, deg: int = 24,
               delta_w: float = 2.0 ** 30, double: bool | None = None,
-              arcsin_terms: int = 2):
+              arcsin_terms: int = 2, s2c_drops: int | None = None,
+              base_limbs: int = 1):
     # NB delta_w must sit at ~the rescale granularity: single mode drops one
     # ~2^30 prime per multiply (delta_w ~ 2^30), double mode drops two
     # (delta_w ~ 2^60) — a mismatched working scale would COLLAPSE
@@ -287,15 +367,51 @@ def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
     ~20+ refreshed bits instead of ~8.  Pair with deg>=30 and
     arcsin_terms>=3 so the approximation error keeps up with the noise."""
     dbl = _is_double(delta_w, double)
-    outs = _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w)
+    outs = _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w,
+                            base_limbs)
     halves = [_stage_evalmod(keys, c_, p_, K, r, deg, dbl, arcsin_terms)
               for c_, p_ in outs]
-    return _stage_s2c(param_boot, keys, halves, delta0, dbl)
+    return _stage_s2c(param_boot, keys, halves, delta0, dbl, s2c_drops,
+                      base_limbs)
+
+
+def precompute_keys(key, param_boot, sk, delta0: float, *, batch=(),
+                    K: int = 7, r: int = 3, deg: int = 24,
+                    delta_w: float = 2.0 ** 30, double: bool | None = None,
+                    arcsin_terms: int = 2, s2c_drops: int | None = None,
+                    base_limbs: int = 1):
+    """Production key builder: derive the COMPLETE bootstrap key set
+    (per-level hybrid relin + rotation keys, C2S/S2C diagonal plans) from
+    the secret key once, and return (arrays, static, pout) with NO secret
+    material retained — `arrays` is the jit-passable public pytree for
+    FrozenKeys/make_staged, `static` the host-side plan metadata, `pout`
+    the output Param.  jax.eval_shape walks the exact pipeline (zero
+    ciphertext compute) so every lazily-keyed level is discovered without
+    running a bootstrap."""
+    keys = BootstrapKeys(key, param_boot, sk)
+    spec = jax.ShapeDtypeStruct((base_limbs,) + tuple(batch)
+                                + (param_boot.n,), jnp.uint64)
+    cell = {}
+
+    def probe(c0, c1):
+        out, po = bootstrap(param_boot, keys, ckks_rns.CT(c0, c1),
+                            delta0=delta0, K=K, r=r, deg=deg,
+                            delta_w=delta_w, double=double,
+                            arcsin_terms=arcsin_terms, s2c_drops=s2c_drops,
+                            base_limbs=base_limbs)
+        cell["pout"] = po
+        return out.c0, out.c1
+
+    jax.eval_shape(probe, spec, spec)
+    arrays, static = freeze(keys)
+    del keys   # BootstrapKeys (and its sk reference) does not escape
+    return arrays, static, cell["pout"]
 
 
 def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
                 deg: int = 24, delta_w: float = 2.0 ** 30,
-                double: bool | None = None, arcsin_terms: int = 2):
+                double: bool | None = None, arcsin_terms: int = 2,
+                s2c_drops: int | None = None, base_limbs: int = 1):
     """Per-STAGE jitted bootstrap: ModRaise+C2S | EvalMod (shared across
     both halves) | S2C each compile as their OWN jit — the whole-pipeline
     single jit produces a graph XLA takes tens of minutes to compile (every
@@ -311,7 +427,7 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
     def f1(arr, c0, c1):
         fk = FrozenKeys(arr, static)
         outs = _stage_raise_c2s(param_boot, fk, ckks_rns.CT(c0, c1),
-                                K, r, delta_w)
+                                K, r, delta_w, base_limbs)
         cell["p1"] = outs[0][1]
         assert outs[1][1] == outs[0][1]    # halves share a level signature
         return (outs[0][0].c0, outs[0][0].c1,
@@ -328,7 +444,8 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
         fk = FrozenKeys(arr, static)
         halves = [(ckks_rns.CT(a0, a1), cell["p2"]),
                   (ckks_rns.CT(b0, b1), cell["p2"])]
-        out, pout = _stage_s2c(param_boot, fk, halves, delta0, dbl)
+        out, pout = _stage_s2c(param_boot, fk, halves, delta0, dbl,
+                               s2c_drops, base_limbs)
         cell["pout"] = pout
         return out.c0, out.c1
 

@@ -213,30 +213,37 @@ class RmapPlan:
     inner loops are pure pointwise contraction (zero per-term transforms).
 
     Reusable across ciphertexts at the same level (bootstrap amortization);
-    em is [L, num, n] u32 on device."""
+    em is [L, num, n] u32 on device.  pt_levels: how many top primes the
+    diagonal encoding scale spans (apply rescales that many times) — >1
+    lets very small map values (e.g. the double-base bootstrap's C2S fold
+    ~2^-34) carry enough integer precision."""
 
-    def __init__(self, n1, need_d, need_e, maps, em):
+    def __init__(self, n1, need_d, need_e, maps, em, pt_levels: int = 1):
         self.n1 = n1
         self.need_d = need_d        # baby steps j feeding rho_j(z)
         self.need_e = need_e        # baby steps j feeding rho_j(z_c)
         self.maps = maps            # per map: [(gi, [(idx, src, j), ...])]
         self.em = em                # [L, num, n] u32 Montgomery eval domain
+        self.pt_levels = pt_levels
 
 
-def build_rmap_plan(param, maps, n1: int | None = None) -> RmapPlan:
+def build_rmap_plan(param, maps, n1: int | None = None,
+                    pt_levels: int = 1) -> RmapPlan:
     # plans are reusable key-like material: force CONCRETE construction
     # even when the builder fires inside a trace (eval_shape/jit warmups)
     with jax.ensure_compile_time_eval():
-        return _build_rmap_plan(param, maps, n1)
+        return _build_rmap_plan(param, maps, n1, pt_levels)
 
 
-def _build_rmap_plan(param, maps, n1):
+def _build_rmap_plan(param, maps, n1, pt_levels: int = 1):
     from .. import bfv_rns as _bfv
     from ...ops import modops32
     n = param.n
     half = n // 2
     n1 = n1 or _bsgs_n1(n)
-    scale_pt = float(param.qs[-1])
+    scale_pt = 1.0
+    for q in param.qs[param.L - pt_levels:]:
+        scale_pt *= float(q)
     vecs, plan_maps = [], []
     need_d, need_e = set(), set()
     for (A, B) in maps:
@@ -269,7 +276,7 @@ def _build_rmap_plan(param, maps, n1):
                           for c in modops32.consts(param.qs, 3))
     em = modops32.to_mont(ntt_multi(res.astype(jnp.uint32), param.qs),
                           qv32, nqv32, r2v32)
-    return RmapPlan(n1, need_d, need_e, plan_maps, em)
+    return RmapPlan(n1, need_d, need_e, plan_maps, em, pt_levels)
 
 
 def apply_rmap_plan(param, rk: RotKeys, ct, plan: RmapPlan):
@@ -340,8 +347,8 @@ def apply_rmap_plan(param, rk: RotKeys, ct, plan: RmapPlan):
                 intt_multi(p1[:, 0], qs).astype(jnp.uint64))
 
     outs = []
-    param2 = ckks_rns.Param(n=param.n, L=L - 1, delta=param.delta,
-                            prime_bits=param.prime_bits)
+    param2 = ckks_rns.Param(n=param.n, L=L - plan.pt_levels,
+                            delta=param.delta, prime_bits=param.prime_bits)
     for giants in plan.maps:
         zero_blocks = [e for gi, e in giants if gi == 0]
         rot_blocks = [(gi, e) for gi, e in giants if gi != 0]
@@ -390,7 +397,11 @@ def apply_rmap_plan(param, rk: RotKeys, ct, plan: RmapPlan):
                         bfv_rns._addmod_v(carry[1], sw.c1, qv)), None
 
             (a0, a1), _ = jax.lax.scan(body, (a0, a1), xs)
-        ct2, _ = ckks_rns.rescale(param, type(ct)(a0, a1))
+        ct2 = type(ct)(a0, a1)
+        for lv in range(plan.pt_levels):      # one drop per pt-scale prime
+            pL = ckks_rns.Param(n=param.n, L=L - lv, delta=param.delta,
+                                prime_bits=param.prime_bits)
+            ct2, _ = ckks_rns.rescale(pL, ct2)
         outs.append(ct2)
     return outs, param2
 

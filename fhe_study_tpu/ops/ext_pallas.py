@@ -4,12 +4,12 @@ After the NTTs, base extension is the RNS stack's hottest op: for every
 coefficient, out_j = Σ_i y_i·tab[i,j] − α·(S mod d_j)  (mod d_j) over all
 (src × dst) prime pairs.  The XLA path streams several [Ls or Ld, B, n]
 tensors through HBM per step; these kernels read the residue block ONCE and
-run the whole (Ls × Ld) contraction in VMEM with u32 Montgomery arithmetic
-(tables pre-lifted to each destination's Montgomery domain — every product
-is ~15 VPU ops, no 64-bit emulation).
+run the whole (Ls × Ld) contraction in VMEM with u32 Shoup arithmetic
+(every multiplier is a compile-time constant, so each product is one
+wide-high mul + two low muls — no 64-bit emulation).
 
 Two entry points:
-  * base_extend_fused — the WHOLE conversion in one kernel: the Montgomery
+  * base_extend_fused — the WHOLE conversion in one kernel: the Shoup
     products y_i = [x_i·Q̂_i^{-1}]_{s_i}, the α = floor/round(Σ y_i/s_i)
     in 2^59 fixed point on u32 limb pairs (models/bfv_rns.py documents the
     exactness margins), and the contraction.  x in, out out — nothing else
@@ -27,53 +27,64 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ntt_pallas import (_mont_mul, _addmod, _submod, _mont32_consts,
-                         _mul32_wide, _on_tpu)
+from .ntt_pallas import (_addmod, _submod, _mul32_wide, _shoup_mul,
+                         _on_tpu)
 
 U32 = jnp.uint32
-LANE_TILE = 2048  # coefficients per block (the op is fully per-coefficient)
+# coefficients per block (the op is fully per-coefficient).  Large tiles
+# matter: at the BFV bench shape the conversion covers ~3M coefficients, and
+# 2K-lane tiles turn that into 1500+ sequential grid steps of ~30 KB DMAs —
+# pure latency.  32K lanes keeps the in+w+out stack ~2 MB for Ls+Ld <= 10
+# (128K measured OOM against Mosaic's live wide-mul temporaries) while
+# cutting the grid to ~100 steps.
+LANE_TILE = 32 * 1024
 
 
 @lru_cache(maxsize=None)
 def _ext_consts(src: tuple, dst: tuple):
-    """Montgomery-domain tables: tab_mont[i][j] = ((S/s_i) << 32) mod d_j,
-    smod_mont[j] = (S << 32) mod d_j, plus per-dst nqinv."""
+    """Shoup pairs (w, floor(w·2^32/d)): every multiplier in the extension
+    is a compile-time constant, so Harvey/Shoup (one wide-high mul + two
+    low muls) beats Montgomery (two wide muls) — measured ~25% off the
+    whole conversion.  tab[i][j] <- (S/s_i) mod d_j, smod[j] <- S mod d_j."""
     S = 1
     for s in src:
         S *= s
-    tab = np.zeros((len(src), len(dst)), np.uint32)
-    smod = np.zeros((len(dst),), np.uint32)
-    nqinv = np.zeros((len(dst),), np.uint32)
+    tab = np.zeros((len(src), len(dst), 2), np.uint32)
+    smod = np.zeros((len(dst), 2), np.uint32)
     for j, d in enumerate(dst):
-        nqinv[j] = _mont32_consts(d)[0]
-        smod[j] = (S % d << 32) % d
+        sm = S % d
+        smod[j] = (sm, (sm << 32) // d)
         for i, s in enumerate(src):
-            tab[i, j] = ((S // s) % d << 32) % d
-    return tab, smod, nqinv
+            w = (S // s) % d
+            tab[i, j] = (w, (w << 32) // d)
+    return tab, smod
 
 
-def _ext_kernel(ys_ref, alpha_ref, out_ref, *, src, dst, tab, smod, nqinv):
+def _ext_kernel(ys_ref, alpha_ref, out_ref, *, src, dst, tab, smod):
     al = alpha_ref[...]
     for j, d in enumerate(dst):
-        nq = int(nqinv[j])
-        acc = _mont_mul(ys_ref[0], U32(int(tab[0, j])), d, nq)
+        acc = _shoup_mul(ys_ref[0], U32(int(tab[0, j, 0])),
+                         U32(int(tab[0, j, 1])), U32(d))
         for i in range(1, len(src)):
-            term = _mont_mul(ys_ref[i], U32(int(tab[i, j])), d, nq)
+            term = _shoup_mul(ys_ref[i], U32(int(tab[i, j, 0])),
+                              U32(int(tab[i, j, 1])), U32(d))
             acc = _addmod(acc, term, d)
-        corr = _mont_mul(al, U32(int(smod[j])), d, nq)
+        corr = _shoup_mul(al, U32(int(smod[j, 0])), U32(int(smod[j, 1])),
+                          U32(d))
         out_ref[j] = _submod(acc, corr, d)
 
 
-def _ext_fused_kernel(x_ref, *refs, src, dst, tab, smod, nqinv,
-                      him, snq, cfix, centered, sub_mul):
-    """Whole conversion: y_i = mont(x_i, Q̂_i^{-1}·2^32); α = Σ y_i·⌊2^59/s_i⌋
+def _ext_fused_kernel(x_ref, *refs, src, dst, tab, smod,
+                      him, cfix, centered, sub_mul):
+    """Whole conversion: y_i = shoup(x_i, Q̂_i^{-1}); α = Σ y_i·⌊2^59/s_i⌋
     (u32 limb pairs, < Ls·2^59 < 2^64; truncation ≤ Ls·2^-28 — see
     models/bfv_rns.fast_base_extend for the exactness margins), rounded when
-    centered; then the (Ls × Ld) Montgomery contraction.
+    centered; then the (Ls × Ld) Shoup contraction (all multipliers are
+    compile-time constants — see _ext_consts).
 
     sub_mul epilogue (the BFV t/Q scaling step, bfv_rns._tensor):
     out_j = (w_j − ext_j) · c_j  with w an extra [Ld, tile] input and c_j a
-    Montgomery-lifted per-dst constant."""
+    per-dst Shoup constant pair."""
     if sub_mul is None:
         (out_ref,) = refs
     else:
@@ -82,7 +93,8 @@ def _ext_fused_kernel(x_ref, *refs, src, dst, tab, smod, nqinv,
     tlo = None
     thi = None
     for i, s in enumerate(src):
-        y = _mont_mul(x_ref[i], U32(int(him[i])), s, int(snq[i]))
+        y = _shoup_mul(x_ref[i], U32(int(him[i][0])), U32(int(him[i][1])),
+                       U32(s))
         ys.append(y)
         hi, lo = _mul32_wide(y, U32(int(cfix[i])))   # y·⌊2^59/s⌋ < 2^62
         if tlo is None:
@@ -95,18 +107,21 @@ def _ext_fused_kernel(x_ref, *refs, src, dst, tab, smod, nqinv,
         thi = thi + U32(1 << 26)                     # no lo carry: add to hi
     al = thi >> U32(27)                              # floor(tsum / 2^59)
     for j, d in enumerate(dst):
-        nq = int(nqinv[j])
-        acc = _mont_mul(ys[0], U32(int(tab[0, j])), d, nq)
+        acc = _shoup_mul(ys[0], U32(int(tab[0, j, 0])),
+                         U32(int(tab[0, j, 1])), U32(d))
         for i in range(1, len(src)):
-            term = _mont_mul(ys[i], U32(int(tab[i, j])), d, nq)
+            term = _shoup_mul(ys[i], U32(int(tab[i, j, 0])),
+                              U32(int(tab[i, j, 1])), U32(d))
             acc = _addmod(acc, term, d)
-        corr = _mont_mul(al, U32(int(smod[j])), d, nq)
+        corr = _shoup_mul(al, U32(int(smod[j, 0])), U32(int(smod[j, 1])),
+                          U32(d))
         ext = _submod(acc, corr, d)
         if sub_mul is None:
             out_ref[j] = ext
         else:
-            out_ref[j] = _mont_mul(_submod(w_ref[j], ext, d),
-                                   U32(int(sub_mul[j])), d, nq)
+            out_ref[j] = _shoup_mul(_submod(w_ref[j], ext, d),
+                                    U32(int(sub_mul[j][0])),
+                                    U32(int(sub_mul[j][1])), U32(d))
 
 
 def base_extend_fused(x, src: tuple, dst: tuple, centered: bool = False,
@@ -120,15 +135,19 @@ def base_extend_fused(x, src: tuple, dst: tuple, centered: bool = False,
     scaling step of the BFV tensor."""
     if interpret is None:
         interpret = not _on_tpu()
-    tab, smod, nqinv = _ext_consts(src, dst)
-    him = [(pow(_hat(src, i), -1, s) << 32) % s for i, s in enumerate(src)]
-    snq = [_mont32_consts(s)[0] for s in src]
+    tab, smod = _ext_consts(src, dst)
+    him = []
+    for i, s in enumerate(src):
+        hw = pow(_hat(src, i), -1, s)
+        him.append((hw, (hw << 32) // s))
     cfix = [(1 << 59) // s for s in src]
     Ls, Ld = len(src), len(dst)
     batch = x.shape[1:]
     total = int(np.prod(batch))
     x32 = x.reshape(Ls, total).astype(U32)
     tile = LANE_TILE
+    while tile > 2048 and tile >= 2 * total:   # don't pad tiny inputs 64x
+        tile //= 2
     pad = (-total) % tile
     if pad:
         x32 = jnp.pad(x32, ((0, 0), (0, pad)))
@@ -139,7 +158,8 @@ def base_extend_fused(x, src: tuple, dst: tuple, centered: bool = False,
     sm = None
     if sub_mul is not None:
         assert w is not None and w.shape == (Ld,) + batch
-        sm = [(int(c) << 32) % d for c, d in zip(sub_mul, dst)]
+        sm = [(int(c) % d, ((int(c) % d) << 32) // d)
+              for c, d in zip(sub_mul, dst)]
         w32 = w.reshape(Ld, total).astype(U32)
         if pad:
             w32 = jnp.pad(w32, ((0, 0), (0, pad)))
@@ -147,8 +167,7 @@ def base_extend_fused(x, src: tuple, dst: tuple, centered: bool = False,
         in_specs.append(pl.BlockSpec((Ld, tile), lambda i: (i * 0, i),
                                      memory_space=pltpu.VMEM))
     kern = partial(_ext_fused_kernel, src=src, dst=dst, tab=tab, smod=smod,
-                   nqinv=nqinv, him=him, snq=snq, cfix=cfix,
-                   centered=centered, sub_mul=sm)
+                   him=him, cfix=cfix, centered=centered, sub_mul=sm)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Ld, m), jnp.uint32),
@@ -177,20 +196,21 @@ def base_extend_sum(ys, alpha, src: tuple, dst: tuple,
     (< Ls) -> [Ld, ..., n] u64 residues of Σ y_i·Q̂_i − α·S per dst prime."""
     if interpret is None:
         interpret = not _on_tpu()
-    tab, smod, nqinv = _ext_consts(src, dst)
+    tab, smod = _ext_consts(src, dst)
     Ls, Ld = len(src), len(dst)
     batch = ys.shape[1:]
     total = int(np.prod(batch))
     ys32 = ys.reshape(Ls, total).astype(U32)
     al32 = alpha.reshape(total).astype(U32)
     tile = LANE_TILE
+    while tile > 2048 and tile >= 2 * total:
+        tile //= 2
     pad = (-total) % tile
     if pad:
         ys32 = jnp.pad(ys32, ((0, 0), (0, pad)))
         al32 = jnp.pad(al32, ((0, pad),))
     m = ys32.shape[1]
-    kern = partial(_ext_kernel, src=src, dst=dst, tab=tab, smod=smod,
-                   nqinv=nqinv)
+    kern = partial(_ext_kernel, src=src, dst=dst, tab=tab, smod=smod)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((Ld, m), jnp.uint32),

@@ -670,7 +670,8 @@ def _tensor_eval_kernel(consts_ref, x0_ref, x1_ref, y0_ref, y1_ref, tw_ref,
 
 
 def tensor_eval4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     bb_override: int | None = None):
     """Degree-2 tensor product of EVAL-domain operands: x*, y* are
     [Ld, ..., n] canonical NTT-domain residues mod dst[j].  Returns
     [Ld, ..., 3, n] coefficient-domain scale*(x0y0, x0y1+x1y0, x1y1)."""
@@ -681,7 +682,11 @@ def tensor_eval4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
     ins = [a.reshape((Ld, -1, 1, n)).astype(jnp.uint32)
            for a in (x0, x1, y0, y1)]
     B = ins[0].shape[1]
-    bb = max(1, min(B, (1 << 19) // (4 * n * 4)))
+    # 1 MB of operand rows per block (bb=4 at n=2^14) measured 23% faster
+    # than 512 KB (bb=2) — only the inverse twiddle plane rides along, so
+    # the VMEM stack has headroom the dual-plane kernels don't
+    bb = bb_override or max(1, min(B, (1 << 20) // (4 * n * 4)))
+    bb = min(bb, B)
     while B % bb:
         bb -= 1
     if interpret is None:
@@ -752,7 +757,8 @@ def _ext_ntt_kernel(consts_ref, x_ref, tw_ref, o_ref, *, n, bb, P, src,
     o_ref[...] = x.reshape(1, bb, P, n)
 
 
-def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None):
+def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None,
+                bb_override: int | None = None):
     """x: [Ls, ..., P, n] coeff-domain residues over src -> [Ld, ..., P, n]
     canonical EVAL-domain residues over dst (extension + forward NTT,
     one fused pass; the extended coefficients never exist in HBM)."""
@@ -763,7 +769,8 @@ def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None):
     batch = x.shape[1:-2]
     xb = x.reshape((Ls, -1, P, n)).astype(jnp.uint32)
     B = xb.shape[1]
-    bb = max(1, min(B, (1 << 18) // (P * n * 4)))
+    bb = bb_override or max(1, min(B, (1 << 18) // (P * n * 4)))
+    bb = min(bb, B)
     while B % bb:
         bb -= 1
     if interpret is None:
@@ -1045,7 +1052,8 @@ def _ks_eval_consts(qs: tuple, n: int):
 
 
 def ks_fused_eval_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
-                      adds, interpret: bool | None = None):
+                      adds, interpret: bool | None = None,
+                      bb_override: int | None = None):
     """Eval-resident relinearization: c_limbs [R, ..., n] digit residues,
     kb/ka [R, Lp, n] eval-domain keys, adds=(c0, c1) coeff-domain
     [Lp, ..., n].  Returns (e0, e1, r0, r1), each [Lp, ..., n]:
@@ -1060,7 +1068,11 @@ def ks_fused_eval_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
     av = jnp.stack([a.reshape((Lp, -1, n)) for a in adds], 2
                    ).astype(jnp.uint32)        # [Lp, B, 2, n]
     reps = (max(src_primes) - 1) // min(primes) + 1
-    bb = max(1, min(B, (1 << 19) // (R * n * 4)))
+    # NB: bb=8 measured ~10% faster on contiguous operands but CRASHES the
+    # Mosaic compiler when the digit operand is a strided slice (the mul_e
+    # call site passes out3[..., 2, :]); stay at 512 KB until root-caused
+    bb = bb_override or max(1, min(B, (1 << 19) // (R * n * 4)))
+    bb = min(bb, B)
     while B % bb:
         bb -= 1
     if interpret is None:

@@ -20,6 +20,33 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 
 import jax  # noqa: E402  (likely already imported by sitecustomize)
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# ---------------------------------------------------------------------------
+# Two test tiers: the DEFAULT tier (`pytest -q`) stays under ~10 min on the
+# 4-core CPU backend; tests marked @pytest.mark.slow (long end-to-end
+# pipelines whose features also have fast coverage) only run with --slow.
+# Full suite: `python -m pytest tests/ -q --slow`.
+# ---------------------------------------------------------------------------
+
+def pytest_addoption(parser):
+    parser.addoption("--slow", action="store_true", default=False,
+                     help="also run tests marked slow (full tier)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long end-to-end test, excluded unless --slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -106,8 +106,9 @@ def test_ct_mul_relin():
 def test_eval_resident_mul_matches_mul():
     """mul_e on eval-resident ciphertexts is bit-identical to mul, and a
     depth-2 chain (mul_e -> add_e -> mul_e) decrypts correctly without ever
-    leaving the NTT domain."""
-    param = R.RnsParam(n=256, t=4, L=4, M=5)
+    leaving the NTT domain.  (Small L/n: bit-identity is shape-independent;
+    the bench shape runs on TPU via bench.py's decrypt-verified chain.)"""
+    param = R.RnsParam(n=128, t=4, L=3, M=4)
     ks = prng.split(jax.random.PRNGKey(7), 8)
     B = 2
     sk, pk = R.new_key(ks[0], param)

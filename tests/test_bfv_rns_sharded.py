@@ -10,8 +10,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from fhe_study_tpu.models import bfv_rns as R
 from fhe_study_tpu.parallel import mesh as mesh_mod
 from fhe_study_tpu.utils import prng
+import pytest
 
 
+@pytest.mark.slow
 def test_mul_limb_and_batch_sharded():
     param = R.RnsParam(n=256, t=16, L=4, M=5)
     ks = prng.split(jax.random.PRNGKey(0), 6)

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from fhe_study_tpu.models import bfv_rns as R
 from fhe_study_tpu.utils import prng
+import pytest
 
 
 def test_key_switch():
@@ -23,6 +24,7 @@ def test_key_switch():
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
 
 
+@pytest.mark.slow
 def test_noise_budget_decreases_with_mul():
     param = R.RnsParam(n=256, t=4, L=4, M=5)
     ks = prng.split(jax.random.PRNGKey(1), 6)

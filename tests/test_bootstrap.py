@@ -16,8 +16,10 @@ from fhe_study_tpu.arith.params import TORUS_Q
 from fhe_study_tpu.models.gfhe.glwe import Param, ERR_SIGMA
 from fhe_study_tpu.models.tfhe import tlwe, tglwe, bootstrap
 from fhe_study_tpu.utils import prng
+import pytest
 
 
+@pytest.mark.slow
 def test_bootstrap_reference_mode():
     # reference tlwe.rs:466-504 at reduced size (N=64, k=1, t=16, beta=2 l=8)
     param = Param(ERR_SIGMA, RingParam(TORUS_Q, 64), 1, 16)
@@ -40,6 +42,7 @@ def test_bootstrap_reference_mode():
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
 
 
+@pytest.mark.slow
 def test_bootstrap_standard_mode_uniform_masks():
     # real TFHE: uniform masks, q2=2N, full CMux chain does the work
     n, t = 128, 8
@@ -97,6 +100,7 @@ def test_bootstrap_refreshes_noise():
     assert (err < np.uint64(1 << 54)).all(), err
 
 
+@pytest.mark.slow
 def test_bootstrap_short_lwe():
     """Keyswitch-first pipeline over a short intermediate LWE key: the CMux
     chain shrinks from kn=128 to n_lwe=64 steps, and the output returns

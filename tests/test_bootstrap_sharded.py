@@ -13,8 +13,10 @@ from fhe_study_tpu.models.gfhe.glwe import Param, ERR_SIGMA
 from fhe_study_tpu.models.tfhe import tlwe, tglwe, bootstrap
 from fhe_study_tpu.parallel import mesh as mesh_mod
 from fhe_study_tpu.utils import prng
+import pytest
 
 
+@pytest.mark.slow
 def test_bootstrap_dp_sharded():
     n, t = 128, 8
     param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)

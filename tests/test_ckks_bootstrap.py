@@ -1,6 +1,7 @@
 """CKKS bootstrapping end-to-end (ModRaise -> C2S -> EvalMod -> S2C)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,10 @@ from fhe_study_tpu.utils import prng
 
 
 def test_ckks_bootstrap_roundtrip():
+    """End-to-end refresh through the PRODUCTION key path: precompute_keys
+    (eval_shape key discovery, sk not retained) + make_staged jits — the
+    eager whole-pipeline path is covered (bit-exactly vs the jitted one)
+    by test_ckks_bootstrap_frozen_jit in the slow tier."""
     n, L = 32, 18
     delta0 = 2.0 ** 24
     param = C.Param(n=n, L=L, delta=delta0)
@@ -22,18 +27,21 @@ def test_ckks_bootstrap_roundtrip():
                    C.encode(param, jnp.asarray(z.real), jnp.asarray(z.imag)))
     # exhaust the modulus: drop to level 1
     ct1, p1 = P.level_drop(param, ct, 1)
-    # sanity: it still decrypts at level 1 (2-limb CRT needs >= 2... use 2)
-    keys = B.BootstrapKeys(ks[2], param, sk)
-    out, pout = B.bootstrap(param, keys, ct1, delta0=delta0)
-    assert pout.L >= 3, f"bootstrap ended too low: L={pout.L}"
-    rr, ri = C.decode(pout, C.decrypt_to_coeffs(pout, sk, out))
+    arrays, static, pout = B.precompute_keys(ks[2], param, sk, delta0)
+    run = B.make_staged(param, static, delta0)
+    out, pout2 = run(arrays, ct1.c0, ct1.c1)
+    assert pout2.L >= 3, f"bootstrap ended too low: L={pout2.L}"
+    assert pout2.L == pout.L and pout2.delta == pout.delta
+    rr, ri = C.decode(pout2, C.decrypt_to_coeffs(pout2, sk, out))
     got = np.asarray(rr) + 1j * np.asarray(ri)
     np.testing.assert_allclose(got, z, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_ckks_bootstrap_frozen_jit():
     """freeze() -> FrozenKeys: the whole bootstrap as ONE jitted function
-    with key material passed as a pytree argument."""
+    with key material passed as a pytree argument, bit-identical to the
+    eager path (the eager run is why this is slow-tier)."""
     n, L = 32, 18
     delta0 = 2.0 ** 24
     param = C.Param(n=n, L=L, delta=delta0)
@@ -61,6 +69,7 @@ def test_ckks_bootstrap_frozen_jit():
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(out_e.c0))
 
 
+@pytest.mark.slow
 def test_ckks_bootstrap_staged_jits():
     """make_staged (per-stage jits) == the single-graph bootstrap,
     bit-for-bit (same keys, same math, smaller compiles)."""
@@ -82,3 +91,54 @@ def test_ckks_bootstrap_staged_jits():
     assert pout_s == pout
     np.testing.assert_array_equal(np.asarray(out_e.c0), np.asarray(out_s.c0))
     np.testing.assert_array_equal(np.asarray(out_e.c1), np.asarray(out_s.c1))
+
+
+def test_mod_raise2_exact():
+    """2-limb Garner ModRaise: residues of the centered representative of
+    v mod q0*q1 over the full basis, checked against python bigints."""
+    n, L = 16, 8
+    param = C.Param(n=n, L=L, delta=2.0 ** 45)
+    qs = param.qs
+    q0, q1 = qs[0], qs[1]
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, q0 * q1, n, dtype=np.uint64)
+    ct2 = C.CT(jnp.stack([jnp.asarray(v % q0), jnp.asarray(v % q1)]),
+               jnp.stack([jnp.asarray(v % q0), jnp.asarray(v % q1)]))
+    out = B.mod_raise2(param, ct2)
+    Q0 = q0 * q1
+    for j, qj in enumerate(qs):
+        want = [(int(x) if int(x) <= Q0 // 2 else int(x) - Q0) % qj
+                for x in v]
+        np.testing.assert_array_equal(np.asarray(out.c0[j]),
+                                      np.asarray(want, np.uint64))
+
+
+@pytest.mark.slow
+def test_ckks_bootstrap_double_base_high_precision():
+    """base_limbs=2 (ModRaise over q0*q1, delta0=2^45): >= 25 refreshed
+    bits end-to-end — the production high-precision pipeline (the classic
+    single-prime base floors at ~16 bits: the additive KS/rescale noise
+    ~2^8 against delta0 <= 2^24)."""
+    n, L = 32, 34
+    delta0 = 2.0 ** 45
+    delta_w = 2.0 ** 60
+    param = C.Param(n=n, L=L, delta=delta0)
+    ks = prng.split(jax.random.PRNGKey(13), 3)
+    sk, pk = C.new_key(ks[0], param)
+    rng = np.random.default_rng(14)
+    z = rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)
+    ct = C.encrypt(ks[1], param, pk,
+                   C.encode(param, jnp.asarray(z.real), jnp.asarray(z.imag)))
+    ct2, _ = P.level_drop(param, ct, 2)
+    arrays, static, pout = B.precompute_keys(
+        ks[2], param, sk, delta0, K=7, r=3, deg=30, delta_w=delta_w,
+        arcsin_terms=3, base_limbs=2)
+    run = B.make_staged(param, static, delta0, K=7, r=3, deg=30,
+                        delta_w=delta_w, arcsin_terms=3, base_limbs=2)
+    out, pout2 = run(arrays, ct2.c0, ct2.c1)
+    assert pout2.L == pout.L and pout2.delta == pout.delta
+    rr, ri = C.decode(pout2, C.decrypt_to_coeffs(pout2, sk, out,
+                                                 crt_limbs=3))
+    got = np.asarray(rr) + 1j * np.asarray(ri)
+    err = np.abs(got - z).max()
+    assert err < 2.0 ** -25, f"only {-np.log2(err):.1f} refreshed bits"

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from fhe_study_tpu.models.ckks import ckks_rns as C
 from fhe_study_tpu.models.ckks import eval as E
 from fhe_study_tpu.utils import prng
+import pytest
 
 
 def _setup(n=32, L=3, delta=2.0 ** 25, seed=0):
@@ -71,6 +72,7 @@ def test_matvec_banded_needs_few_keys():
     assert set(d.keys()) == {1} and not e
 
 
+@pytest.mark.slow
 def test_coeff_to_slot_and_back():
     """C2S exposes the polynomial coefficients in slots; S2C re-packs them.
     The full C2S -> S2C pipeline returns the original slot vector."""

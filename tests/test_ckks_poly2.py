@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from fhe_study_tpu.models.ckks import ckks_rns as C
 from fhe_study_tpu.models.ckks import poly as P
 from fhe_study_tpu.utils import prng
+import pytest
 
 
 def _setup(n=64, L=10, seed=3):
@@ -24,6 +25,7 @@ def _setup(n=64, L=10, seed=3):
     return param, sk, rlks, z, ct
 
 
+@pytest.mark.slow
 def test_mul_ct2_chain():
     param, sk, rlks, z, ct = _setup()
     y2, p2 = P.mul_ct2(rlks, ct, param, ct, param)

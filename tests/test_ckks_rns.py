@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from fhe_study_tpu.models.ckks import ckks_rns as C
 from fhe_study_tpu.utils import prng
+import pytest
 
 
 def _slots(rng, B, half, t):
@@ -55,6 +56,7 @@ def test_mul_rescale():
     np.testing.assert_allclose(np.asarray(zi), want.imag, atol=3e-2)
 
 
+@pytest.mark.slow
 def test_high_precision_double_prime_scale():
     """Double-prime scale delta ~= q_{L-1}*q_{L-2} ~= 2^60: a two-deep
     hybrid multiply chain keeps ~40+ bits of slot precision (vs ~2^-24 at

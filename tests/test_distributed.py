@@ -8,6 +8,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fhe_study_tpu.parallel import distributed, pipeline
+import pytest
 
 
 def test_initialize_single_process_noop():
@@ -45,6 +46,7 @@ def test_v5e16_launch_config_consistent():
     assert cfg["env_per_host"]["JAX_NUM_PROCESSES"] == "4"
 
 
+@pytest.mark.slow
 def test_dryrun_hybrid_rns_and_sp():
     # the multi-host code path at production ring size, decrypt-verified
     pipeline.dryrun_hybrid(8)

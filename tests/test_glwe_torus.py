@@ -12,8 +12,10 @@ from fhe_study_tpu.arith.params import TORUS_Q
 from fhe_study_tpu.arith.ring import ring_for
 from fhe_study_tpu.models.gfhe import glwe as G
 from fhe_study_tpu.utils import prng
+import pytest
 
 
+@pytest.mark.slow
 def test_key_switch_torus():
     param = G.Param(G.ERR_SIGMA, RingParam(TORUS_Q, 64), 2, 16)
     beta, l = 2, 64

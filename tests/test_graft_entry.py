@@ -4,6 +4,7 @@ compiles+executes the sharded step on an 8-device mesh."""
 import sys
 
 import jax
+import pytest
 
 
 def test_entry_jits_and_runs():
@@ -15,6 +16,7 @@ def test_entry_jits_and_runs():
     assert out[0].shape == args[0].shape
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge

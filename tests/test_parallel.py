@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from fhe_study_tpu.arith import rq
 from fhe_study_tpu.parallel import mesh as mesh_mod
 from fhe_study_tpu.parallel import ntt_sharded
+import pytest
 
 Q = 2 ** 16 + 1
 
@@ -26,6 +27,7 @@ def test_sharded_negacyclic_mul_matches_single_device():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_sharded_mul_sp2_with_batch_dp():
     m = mesh_mod.make_mesh(dp=4, ep=1, sp=2)
     rng = np.random.default_rng(1)
@@ -54,6 +56,7 @@ def test_cyclic_ntt_roundtrip_and_convolution():
         np.testing.assert_array_equal(np.asarray(c[i]), want)
 
 
+@pytest.mark.slow
 def test_dp_sharded_galois_rotation():
     """Batched BFV slot rotation with the ciphertext batch sharded over dp:
     bit-identical to the single-device result (rotation = static gather +

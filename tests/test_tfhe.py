@@ -10,6 +10,7 @@ from fhe_study_tpu.models.gfhe.glwe import Param, ERR_SIGMA
 from fhe_study_tpu.models.tfhe import tlwe, tlev, tgsw, tglwe, tggsw
 from fhe_study_tpu.ops import modops
 from fhe_study_tpu.utils import prng
+import pytest
 
 B = 32
 
@@ -197,6 +198,7 @@ def test_sample_extraction():
 
 # -- TGGSW (tggsw.rs:157-196) ----------------------------------------------
 
+@pytest.mark.slow
 def test_tggsw_external_product_evals_fast_path():
     """Pre-transformed (Fourier-domain-BSK style) external product is
     bit-identical to the generic path."""
