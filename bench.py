@@ -2,10 +2,12 @@
 
 Default run (`python bench.py`) emits ONE JSON line PER config:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
-in order: NTT kernel roofline, BFV ct-mul (headline, N=2^14), BFV linear
-(N=2^12 B=1K), CKKS add+mul+rescale, TFHE bootstraps/s, CKKS bootstraps/s.
-A failing config prints an {"metric": ..., "error": ...} line and the rest
-still run.  FHE_BENCH_KIND=bfv|bfv_linear|ckks|tfhe|ckks_boot|ntt runs one.
+in order: NTT kernel roofline, BFV linear (N=2^12 B=1K), CKKS
+add+mul+rescale, TFHE bootstraps/s (full-chain AND production short-LWE),
+CKKS bootstraps/s, and the HEADLINE — BFV ct-mul N=2^14 — LAST (the driver
+parses the final JSON line).  A failing config prints an
+{"metric": ..., "error": ...} line and the rest still run.
+FHE_BENCH_KIND=bfv|bfv_linear|ckks|tfhe|tfhe_prod|ckks_boot|ntt runs one.
 
 vs_baseline: the north-star target is ≥10^6 ct-mults/s aggregate on a v5e-16,
 i.e. 62500/s per chip — value / 62500.  The NTT line reports
@@ -353,54 +355,54 @@ def bench_ckks():
 
 
 def bench_ckks_boot():
-    """CKKS bootstrap throughput: ModRaise -> C2S (BSGS, hoisted babies,
-    precompiled diagonal plans) -> EvalMod -> S2C, the whole pipeline ONE
-    jitted function (keys/plans passed as a pytree argument — no giant
-    closure constants)."""
+    """CKKS bootstrap throughput at the HIGH-PRECISION production config:
+    double-base ModRaise (Q0 = q0*q1, delta0 = 2^45), sparse secret h=64,
+    auto-sized EvalMod range (bootstrap.suggest_K_r), double-prime working
+    scale 2^60 — ~26 refreshed bits (vs ~4 for the single-prime base at
+    these ring sizes).  ModRaise -> C2S (BSGS, hoisted babies, precompiled
+    diagonal plans) -> EvalMod -> S2C, per-stage jits, keys as a pytree
+    argument (no giant closure constants).  Default n=2^11: the rotation
+    key set is ~4.7 GB; n=2^12 (~9.5 GB) exceeds comfortable v5e HBM
+    headroom next to the ciphertexts."""
     import numpy as np
     from fhe_study_tpu.models.ckks import bootstrap as BB
     from fhe_study_tpu.models.ckks import ckks_rns as C
     from fhe_study_tpu.models.ckks import poly as P
-    n = int(os.environ.get("FHE_BENCH_N", 1 << 12))
-    L = int(os.environ.get("FHE_BENCH_L", 18))
+    n = int(os.environ.get("FHE_BENCH_N", 1 << 11))
     B = int(os.environ.get("FHE_BENCH_B", 8))
     iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
-    delta0 = 2.0 ** 24
+    delta0 = 2.0 ** 45
+    delta_w = 2.0 ** 60
+    deg, arcsin_terms, base = 30, 3, 2
+    h = int(os.environ.get("FHE_BENCH_H", 64))
+    K, r = BB.suggest_K_r(n, h)
+    L = int(os.environ.get("FHE_BENCH_L", 28 + 2 * r))
     param = C.Param(n=n, L=L, delta=delta0)
     ks = prng.split(jax.random.PRNGKey(0), 3)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        sk, pk = C.new_key(ks[0], param)
+        sk, pk = C.new_key(ks[0], param, h=h)
         rng = np.random.default_rng(0)
         z = rng.uniform(-1, 1, (B, n // 2))
         ct = C.encrypt(ks[1], param, pk,
                        C.encode(param, jnp.asarray(z), jnp.zeros_like(z)),
                        batch=(B,))
-        ct1, _ = P.level_drop(param, ct, 1)
-        keys = BB.BootstrapKeys(ks[2], param, sk)
-        # abstract warmup: eval_shape traces the pipeline WITHOUT ciphertext
-        # compute, while the lazy key/plan builders (closed-over concrete
-        # values) still run for real — populates every cache in seconds
-        # where a full eager CPU bootstrap takes tens of minutes
-        cell = {}
-
-        def _shape_probe(c0, c1):
-            out, po = BB.bootstrap(param, keys, BB.ckks_rns.CT(c0, c1),
-                                   delta0=delta0)
-            cell["pout"] = po
-            return out.c0, out.c1
-
-        jax.eval_shape(_shape_probe, ct1.c0, ct1.c1)
-        pout = cell["pout"]
-        arrays, static = BB.freeze(keys)
+        ct1, _ = P.level_drop(param, ct, base)
+        # production key path: complete sk-free key set via eval_shape
+        # discovery (zero ciphertext compute)
+        arrays, static, pout = BB.precompute_keys(
+            ks[2], param, sk, delta0, batch=(B,), K=K, r=r, deg=deg,
+            delta_w=delta_w, arcsin_terms=arcsin_terms, base_limbs=base)
     dev = jax.devices()[0]
     arrays, ct1 = jax.tree.map(lambda x: jax.device_put(x, dev),
                                (arrays, ct1))
 
     # per-STAGE jits: the whole-pipeline single jit is a graph XLA compiles
     # for tens of minutes (see BB.make_staged)
-    run = BB.make_staged(param, static, delta0)
-    back = jax.jit(lambda c0, c1: P.level_drop(pout, C.CT(c0, c1), 1)[0])
+    run = BB.make_staged(param, static, delta0, K=K, r=r, deg=deg,
+                         delta_w=delta_w, arcsin_terms=arcsin_terms,
+                         base_limbs=base)
+    back = jax.jit(lambda c0, c1: P.level_drop(pout, C.CT(c0, c1), base)[0])
     probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
     fresh_ct, _ = run(arrays, ct1.c0, ct1.c1)
     float(probe(fresh_ct.c0))
@@ -417,8 +419,10 @@ def bench_ckks_boot():
     dt = time.perf_counter() - t0
     with jax.default_device(cpu):
         out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), fresh)
-        rr, _ = C.decode(pout, C.decrypt_to_coeffs(pout, sk, C.CT(*out_cpu)))
-    ok = bool(np.allclose(np.asarray(rr), z, atol=5e-2))
+        rr, _ = C.decode(pout, C.decrypt_to_coeffs(pout, sk, C.CT(*out_cpu),
+                                                   crt_limbs=3))
+    # the double-base pipeline refreshes ~26 bits; 2^-20 leaves margin
+    ok = bool(np.allclose(np.asarray(rr), z, atol=2.0 ** -20))
     value = B * iters / dt
     print(json.dumps({
         "metric": f"ckks_bootstrap_n{n}_per_sec_per_chip"
@@ -434,7 +438,7 @@ def bench_bfv():
     L = int(os.environ.get("FHE_BENCH_L", 4))
     M = int(os.environ.get("FHE_BENCH_M", 5))
     t = int(os.environ.get("FHE_BENCH_T", 256))
-    B = int(os.environ.get("FHE_BENCH_B", 64))
+    B = int(os.environ.get("FHE_BENCH_B", 128))   # B=128 ~4% over B=64
     iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
 
     param = R.RnsParam(n=n, t=t, L=L, M=M)
@@ -558,14 +562,16 @@ def main():
     kind = os.environ.get("FHE_BENCH_KIND", "all")
     modes = {
         # order: kernel roofline first (sets the ceiling the headline
-        # quotes), headline second, cheap configs before the slow bootstraps
+        # quotes), cheap configs before the slow bootstraps, and the
+        # HEADLINE (bfv ct-mul) LAST — the driver parses the final JSON
+        # line of the run as the round's headline metric
         "ntt": bench_ntt,
-        "bfv": bench_bfv,
         "bfv_linear": bench_bfv_linear,
         "ckks": bench_ckks,
         "tfhe": bench_tfhe,
         "tfhe_prod": bench_tfhe_prod,
         "ckks_boot": bench_ckks_boot,
+        "bfv": bench_bfv,
     }
     if kind != "all":
         modes[kind]()

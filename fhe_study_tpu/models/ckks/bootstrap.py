@@ -188,6 +188,24 @@ def mod_raise2(param_boot, ct_l2):
     return ckks_rns.CT(raise_one(ct_l2.c0), raise_one(ct_l2.c1))
 
 
+def suggest_K_r(n: int, h: int | None = None, sigma_mult: float = 5.0):
+    """EvalMod range parameters for a given ring size / secret weight.
+
+    The ModRaise overflow t = v0 + v1*s has per-coefficient deviation
+    sigma_I = sqrt((1 + h_eff)/12) base units (v uniform in +-Q0/2, s
+    ternary with h_eff nonzeros; dense ternary has h_eff ~ 2n/3).  K must
+    cover the max over ~n coefficients: sigma_mult * sigma_I.  r then
+    keeps vmax = (2*pi*(K+.5) + pi/2)/2^r in the ~4..6 range where the
+    deg~30 cosine Taylor converges.  K=7/r=3 (the old fixed default) is
+    only valid for tiny rings — at n=2048 dense, |I| reaches ~45."""
+    h_eff = (2 * n) // 3 if h is None else h
+    sigma_i = math.sqrt((1 + h_eff) / 12.0)
+    K = max(7, math.ceil(sigma_mult * sigma_i))
+    r = max(3, math.ceil(math.log2((2 * math.pi * (K + 0.5)
+                                    + math.pi / 2) / 5.0)))
+    return K, r
+
+
 @lru_cache(maxsize=None)
 def _cos_taylor_even(deg: int, vmax: float):
     """cos(vmax*w) = sum_j c_j (w^2)^j, j = 0..deg/2 (exact even Taylor)."""

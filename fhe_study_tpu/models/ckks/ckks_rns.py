@@ -61,10 +61,14 @@ class CT(NamedTuple):
     c1: jax.Array
 
 
-def new_key(key, param: Param, batch=()):
+def new_key(key, param: Param, batch=(), h: int | None = None):
+    """h: optional secret Hamming weight (sparse ternary, the CKKS
+    bootstrapping convention — see prng.sparse_ternary).  Default: dense
+    ternary, matching the reference's round(U[-1,1)) secret."""
     qs = param.qs
     k_s, k_a, k_e = prng.split(key, 3)
-    s = prng.ternary(k_s, tuple(batch) + (param.n,))
+    s = (prng.ternary(k_s, tuple(batch) + (param.n,)) if h is None
+         else prng.sparse_ternary(k_s, tuple(batch) + (param.n,), h))
     s_evals = ntt_multi(_to_residues(s, qs), qs)
     a = jnp.stack([prng.uniform_mod(jax.random.fold_in(k_a, i),
                                     tuple(batch) + (param.n,), q)

@@ -269,13 +269,24 @@ def _build_rmap_plan(param, maps, n1, pt_levels: int = 1):
         plan_maps.append(giants)
     vecs.append(np.zeros(half, np.complex128))   # pad row: index `num` is 0
     V = np.stack(vecs)                                   # [num+1, half]
-    m = encoder_device.encode(jnp.asarray(V.real), jnp.asarray(V.imag),
-                              n, scale_pt)               # [num, n] i64
-    res = _bfv._to_residues(m, param.qs)                 # [L, num, n]
     qv32, nqv32, r2v32 = (jnp.asarray(c)
                           for c in modops32.consts(param.qs, 3))
-    em = modops32.to_mont(ntt_multi(res.astype(jnp.uint32), param.qs),
-                          qv32, nqv32, r2v32)
+    # CHUNKED device pipeline: a dense C2S at production n has ~n diagonal
+    # rows; encoding/residue-splitting/transforming them in one shot
+    # materializes [L, ~n, n] u64 intermediates (~100+ GB at n=2^13,
+    # L=38 — measured OOM on a 125 GB host).  Only the final u32 em tensor
+    # is kept; everything transient stays <= ~chunk-sized.
+    chunk = max(1, (1 << 24) // n)                       # ~16M coeffs/slab
+    parts = []
+    for i0 in range(0, V.shape[0], chunk):
+        Vc = V[i0: i0 + chunk]
+        m = encoder_device.encode(jnp.asarray(Vc.real), jnp.asarray(Vc.imag),
+                                  n, scale_pt)           # [c, n] i64
+        res = _bfv._to_residues(m, param.qs)             # [L, c, n]
+        parts.append(modops32.to_mont(
+            ntt_multi(res.astype(jnp.uint32), param.qs),
+            qv32, nqv32, r2v32))
+    em = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     return RmapPlan(n1, need_d, need_e, plan_maps, em, pt_levels)
 
 

@@ -84,8 +84,21 @@ def _encode_const_exact(param, c: float, scale_int: int):
 
 def add_pt_const(param, ct, c):
     """ct + constant (encoded at the ciphertext's live scale); ct may carry
-    batch axes (the [L, n] plaintext broadcasts through the middle)."""
-    m = _encode_const(param, c, param.delta)
+    batch axes (the [L, n] plaintext broadcasts through the middle).
+
+    Scales above ~2^52 take the exact-bigint path: the live scale DRIFTS
+    upward through mul_ct2 chains (each level multiplies by
+    delta/(q_i*q_j) > 1 when the dropped primes sit below 2^30), and by
+    ~14 multiply levels it crosses 2^63 — the f64-encode path would
+    overflow i64 and silently corrupt the constant (this was the
+    double-angle ladder blow-up at r >= 5)."""
+    if float(param.delta) > 2.0 ** 52:
+        from fractions import Fraction
+        assert float(np.imag(c)) == 0.0, "exact const path is real-only"
+        m = _encode_const_exact(param, float(np.real(c)),
+                                Fraction(float(param.delta)))
+    else:
+        m = _encode_const(param, c, param.delta)
     from ..bfv_rns import _qvec, _addmod_v, _bcast_mid
     qv = _qvec(param.qs, ct.c0.ndim)
     m = _bcast_mid(m.astype(U64), ct.c0.ndim)

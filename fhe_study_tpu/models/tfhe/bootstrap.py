@@ -147,8 +147,8 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
             a0 = jnp.concatenate([acc0.a.reshape(B, param.k, n),
                                   acc0.b.reshape(B, 1, n)], axis=1)
             out = brp.blind_rotate_fused(
-                shifts.astype(jnp.int32), a0, gev.ev1, gev.ev2, n,
-                w=beta.bit_length() - 1,
+                shifts.astype(jnp.int32), a0, gev.ev1, gev.ev1s,
+                gev.ev2, gev.ev2s, n, w=beta.bit_length() - 1,
                 interpret=(None if fused is None else not _on_tpu()))
             out = out.reshape(batch + (param.k + 1, n))
             return GLWE(a=out[..., :param.k, :], b=out[..., param.k, :])
@@ -160,14 +160,16 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
             param, TGGSW(a=btk.btk_a, b=btk.btk_b))        # [kn, ...]
 
         def step_fast(acc, inputs):
-            a_j, e1, e2 = inputs
+            a_j, e1, e2, e1s, e2s = inputs
             rot = tglwe_mod.left_rotate(param, acc,
                                         (U64(2 * n) - a_j) % U64(2 * n))
             acc = tggsw_mod.cmux_evals(param, beta, l,
-                                       tggsw_mod.TGGSWEvals(e1, e2), acc, rot)
+                                       tggsw_mod.TGGSWEvals(e1, e2, e1s, e2s),
+                                       acc, rot)
             return acc, None
 
-        acc, _ = jax.lax.scan(step_fast, acc0, (a_T, gev.ev1, gev.ev2))
+        acc, _ = jax.lax.scan(step_fast, acc0,
+                              (a_T, gev.ev1, gev.ev2, gev.ev1s, gev.ev2s))
         return acc
 
     def step(acc, inputs):

@@ -130,16 +130,20 @@ def cmux(param: Param, beta: int, l: int, bit: TGGSW, c1: GLWE, c2: GLWE) -> GLW
 # ---------------------------------------------------------------------------
 
 class TGGSWEvals(NamedTuple):
-    """[..., K+1(row), l, K+1(col), 2(limb), N] u32 per CRT prime,
-    MONTGOMERY domain (value << 32 mod p) — the external product multiplies
-    them against normal-domain digits with one u32 REDC each."""
+    """[..., K+1(row), l, K+1(col), 2(limb), N] u32 per CRT prime, PLAIN
+    domain, each with its Harvey/Shoup companion plane floor(w*2^32/p) —
+    the external product multiplies them against normal-domain digits with
+    one wide-high + two low u32 muls each (cheaper than the former
+    Montgomery REDC, which needed two wide muls plus a re-lift)."""
     ev1: jax.Array
     ev2: jax.Array
+    ev1s: jax.Array
+    ev2s: jax.Array
 
 
 def precompute_evals(param: Param, g: TGGSW) -> TGGSWEvals:
     """Transform a TGGSW (any leading batch dims) into NTT-domain 32-bit
-    limbs under both CRT primes, Montgomery-lifted (one-time u64 math)."""
+    limbs under both CRT primes + Shoup planes (one-time u64 math)."""
     from ...ops import ntt as ntt_mod
     p1, p2 = ntt_mod.CRT_PRIMES[:2]
     ab = jnp.concatenate([g.a, g.b[..., None, :]], axis=-2)  # [..., K+1r, l, K+1c, N]
@@ -148,9 +152,10 @@ def precompute_evals(param: Param, g: TGGSW) -> TGGSWEvals:
     limbs = jnp.stack([lo, hi], axis=-2)                     # [..., K+1c, 2, N]
     ev1 = ntt_mod.ntt(limbs % U64(p1), p1)
     ev2 = ntt_mod.ntt(limbs % U64(p2), p2)
-    ev1 = ((ev1 << U64(32)) % U64(p1)).astype(jnp.uint32)
-    ev2 = ((ev2 << U64(32)) % U64(p2)).astype(jnp.uint32)
-    return TGGSWEvals(ev1, ev2)
+    ev1s = ((ev1 << U64(32)) // U64(p1)).astype(jnp.uint32)
+    ev2s = ((ev2 << U64(32)) // U64(p2)).astype(jnp.uint32)
+    return TGGSWEvals(ev1.astype(jnp.uint32), ev2.astype(jnp.uint32),
+                      ev1s, ev2s)
 
 
 def external_product_evals(param: Param, gev: TGGSWEvals, c: GLWE,
@@ -185,14 +190,16 @@ def external_product_evals(param: Param, gev: TGGSWEvals, c: GLWE,
     else:
         dd = jnp.stack([d % U64(p1), d % U64(p2)], 0).astype(jnp.uint32)
     ed = ntt_multi(dd, pq)                                    # u32
-    ev = jnp.stack([gev.ev1, gev.ev2], 0)                     # [2, r, l, c, 2, N] mont
+    ev = jnp.stack([gev.ev1, gev.ev2], 0)                     # [2, r, l, c, 2, N]
+    evs = jnp.stack([gev.ev1s, gev.ev2s], 0)                  # shoup planes
     edx = ed[..., :, :, None, None, :]                        # [2, .., r, l, 1, 1, N]
     extra = edx.ndim - ev.ndim          # ciphertext batch dims absent in the key
     if extra > 0:
         ev = ev.reshape(ev.shape[:1] + (1,) * extra + ev.shape[1:])
+        evs = evs.reshape(evs.shape[:1] + (1,) * extra + evs.shape[1:])
     qv32, nq32, _ = (jnp.asarray(cst)
                      for cst in modops32.consts(pq, edx.ndim))
-    prod = modops32.mont_mul(edx, ev, qv32, nq32)
+    prod = modops32.shoup_mul(edx, ev, evs, qv32)
     # contraction over the (row, level) grid: static small count -> addmod
     # chain (u32 can't hold the raw sum; a chain stays canonical)
     grid = prod.shape[-5] * prod.shape[-4]

@@ -143,8 +143,8 @@ def _inv_ntt(x, q, tw_ref, pidx, logn, rows, ninv_pair):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev2_ref, o_ref, acc_ref,
-               *, n, B, C, w, l, kn, pq, crt):
+def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
+               ev2s_ref, o_ref, acc_ref, *, n, B, C, w, l, kn, pq, crt):
     """One grid step = one CMux link of the blind-rotation chain.  Grid is
     (batch blocks, kn): j (minor) walks the chain, ib picks the batch tile
     whose accumulator currently lives in scratch.  B = the tile size."""
@@ -177,11 +177,14 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev2_ref, o_ref, acc_ref,
     z1 = jnp.stack(z1s)                      # [B, C*2, rows, LANES]
     # NB: broadcast_to + concat, NOT stack(scalars).reshape — a 1-D -> 4-D
     # shape cast of an SMEM-scalar vector fails Mosaic layout inference
-    # ("infer-vector-layout: unsupported shape cast")
+    # ("infer-vector-layout: unsupported shape cast").  Lane-wide (LANES)
+    # from the start: a later [B,1,1,1] -> [B,P,rows,LANES] broadcast is
+    # "Broadcast in both sublanes and lanes", which Mosaic rejects —
+    # pre-filling the lane axis leaves only the supported sublane side.
     hv = jnp.concatenate(
-        [jnp.broadcast_to(h, (1, 1, 1, 1)) for h in hs], 0)
+        [jnp.broadcast_to(h, (1, 1, 1, LANES)) for h in hs], 0)
     negv = jnp.concatenate(
-        [jnp.broadcast_to(g, (1, 1, 1, 1)) for g in negs], 0)
+        [jnp.broadcast_to(g, (1, 1, 1, LANES)) for g in negs], 0)
     rot, flipf = _rotate_neg_batch(z1, hv, negv, n, rows)
     rot = rot.reshape(B, C, 2, rows, LANES)
     flip = flipf[:, :1]                      # [B, 1, rows, LANES] all planes
@@ -208,8 +211,12 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev2_ref, o_ref, acc_ref,
     xd = jnp.stack(digs, 2)                  # [B, C, l, rows, LANES]
     xf = xd.reshape(B * C * l, rows, LANES)  # digits < 2^w <= min(pq)
 
-    # ---- per prime: forward NTT + Montgomery key contraction -------------
+    # ---- per prime: forward NTT + Shoup key contraction -------------------
+    # (keys are PLAIN eval-domain values with precomputed Shoup companions:
+    # one wide-high + two low muls per product vs Montgomery's two wide
+    # muls — the contraction is the dominant non-butterfly VPU work)
     ev = (ev1_ref, ev2_ref)
+    evsh = (ev1s_ref, ev2s_ref)
     qs = (p1, p2)
     nqs = (nq1, nq2)
     outs = []                                # per prime: [B, C, 2, rows, LANES]
@@ -218,14 +225,15 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev2_ref, o_ref, acc_ref,
         e = _fwd_ntt(xf, q, tw_ref, pidx, logn, rows)
         e = e.reshape(B, C, l, rows, LANES)
         evp = ev[pidx][...].reshape(C, l, C, 2, rows, LANES)
+        evps = evsh[pidx][...].reshape(C, l, C, 2, rows, LANES)
         cols = []
         for c in range(C):
             for limb in range(2):
                 s = None
                 for r in range(C):
                     for i in range(l):
-                        p = _mont_mul(e[:, r, i], evp[r, i, c, limb][None],
-                                      q, nq)
+                        p = _shoup_mul(e[:, r, i], evp[r, i, c, limb][None],
+                                       evps[r, i, c, limb][None], U32(q))
                         s = p if s is None else _addmod(s, p, q)
                 cols.append(s)               # [B, rows, LANES]
         st = jnp.stack(cols, 1)              # [B, C*2, rows, LANES]
@@ -296,15 +304,15 @@ def supported(param, beta: int, l: int) -> bool:
             and (n // LANES) >= 1)
 
 
-def blind_rotate_fused(shifts, acc0, ev1, ev2, n: int, w: int,
+def blind_rotate_fused(shifts, acc0, ev1, ev1s, ev2, ev2s, n: int, w: int,
                        interpret=None, bb_override: int | None = None):
     """Run the full CMux chain in one kernel launch.
 
     shifts: [kn, B] int32, step-j rotation amounts (2N - a'_j) mod 2N.
     acc0:   [B, C, N] uint64 initial accumulator (table pre-rotated by b').
-    ev1/ev2: [kn, C, l, C, 2, N] uint32 Montgomery-lifted eval-domain BSK
-    (tggsw.precompute_evals ev1/ev2).  w = log2(beta) digit width.
-    Returns [B, C, N] uint64."""
+    ev1/ev2: [kn, C, l, C, 2, N] uint32 PLAIN eval-domain BSK with
+    ev1s/ev2s their Shoup companion planes (tggsw.precompute_evals).
+    w = log2(beta) digit width.  Returns [B, C, N] uint64."""
     kn, B = shifts.shape
     C = acc0.shape[1]
     l = ev1.shape[2]
@@ -344,6 +352,10 @@ def blind_rotate_fused(shifts, acc0, ev1, ev2, n: int, w: int,
                          lambda i, j: (j, 0 * j, 0 * j, 0 * j, 0 * j, 0 * j)),
             pl.BlockSpec((1, C, l, C, 2, n),
                          lambda i, j: (j, 0 * j, 0 * j, 0 * j, 0 * j, 0 * j)),
+            pl.BlockSpec((1, C, l, C, 2, n),
+                         lambda i, j: (j, 0 * j, 0 * j, 0 * j, 0 * j, 0 * j)),
+            pl.BlockSpec((1, C, l, C, 2, n),
+                         lambda i, j: (j, 0 * j, 0 * j, 0 * j, 0 * j, 0 * j)),
         ],
         out_specs=pl.BlockSpec((bb, C, 2, n),
                                lambda i, j: (i, 0 * j, 0 * j, 0 * j)),
@@ -354,6 +366,6 @@ def blind_rotate_fused(shifts, acc0, ev1, ev2, n: int, w: int,
         out_shape=jax.ShapeDtypeStruct((B, C, 2, n), U32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(shifts.astype(I32), a0, tw, ev1, ev2)
+    )(shifts.astype(I32), a0, tw, ev1, ev1s, ev2, ev2s)
     return (out[:, :, 0].astype(jnp.uint64)
             | (out[:, :, 1].astype(jnp.uint64) << jnp.uint64(32)))

@@ -65,6 +65,17 @@ def to_mont(b, qv, nqv, r2v):
     return mont_mul(b, r2v, qv, nqv)
 
 
+def shoup_mul(a, w, wsh, qv):
+    """a*w mod q via Harvey/Shoup: wsh = floor(w*2^32/q) precomputed
+    alongside the (plain-domain) multiplier w.  One wide-high mul + two
+    low muls — cheaper than Montgomery when the multiplier is key/plan
+    material that can carry its companion plane.  Valid for any a < 2^32,
+    w < q < 2^31."""
+    hi, _ = mul32_hi_lo(a, wsh)
+    t = a * w - hi * qv           # wrapping low-32; lands in [0, 2q)
+    return jnp.where(t >= qv, t - qv, t)
+
+
 def mulmod(a, b, qv, nqv, r2v):
     """(a * b) mod q for two NORMAL-domain operands."""
     return mont_mul(a, to_mont(b, qv, nqv, r2v), qv, nqv)

@@ -63,6 +63,25 @@ def ternary(key, shape):
     return round_half_away(u).astype(jnp.int64)
 
 
+def sparse_ternary(key, shape, h: int):
+    """{-1,0,1} with EXACTLY h nonzeros (random signs) along the last
+    axis, signed int64 — the sparse-secret distribution of the CKKS
+    bootstrapping literature (Hamming weight h, typically 64): it bounds
+    the ModRaise overflow count I by ~sqrt(h) instead of ~sqrt(n), which
+    keeps the EvalMod range K (and its level cost) n-independent."""
+    n = shape[-1]
+    assert 0 < h <= n
+    k_perm, k_sign = jax.random.split(key)
+    lead = shape[:-1]
+    nb = 1
+    for d in lead:
+        nb *= d
+    perm = jax.vmap(lambda k: jax.random.permutation(k, n))(
+        jax.random.split(k_perm, nb)).reshape(lead + (n,))
+    signs = jax.random.rademacher(k_sign, shape, dtype=jnp.int64)
+    return jnp.where(perm < h, signs, 0)
+
+
 def gaussian_int(key, shape, sigma: float):
     """Normal(0, sigma) rounded to nearest int (signed int64)."""
     g = sigma * jax.random.normal(key, shape, dtype=jnp.float64)

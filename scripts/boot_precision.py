@@ -15,13 +15,18 @@ from fhe_study_tpu.models.ckks import poly as P
 from fhe_study_tpu.utils import prng
 
 base_limbs = int(os.environ.get("BOOT_BASE", 1))
+h = os.environ.get("BOOT_H")
+h = None if h is None else int(h)
 n = int(os.environ.get("BOOT_N", 32))
 L = int(os.environ.get("BOOT_L", 34))
 delta0 = 2.0 ** float(os.environ.get("BOOT_DELTA0",
                                      24 if base_limbs == 1 else 45))
 deg = int(os.environ.get("BOOT_DEG", 30))
-r = int(os.environ.get("BOOT_R", 3))
-K = int(os.environ.get("BOOT_K", 7))
+from fhe_study_tpu.models.ckks import bootstrap as _B
+K_auto, r_auto = _B.suggest_K_r(n, h)
+r = int(os.environ.get("BOOT_R", r_auto))
+K = int(os.environ.get("BOOT_K", K_auto))
+print(f"K={K} r={r} h={h}", flush=True)
 arcsin_terms = int(os.environ.get("BOOT_ARCSIN", 3))
 drops = os.environ.get("BOOT_DROPS")
 drops = None if drops is None else int(drops)
@@ -30,7 +35,7 @@ delta_w = 2.0 ** float(os.environ.get("BOOT_DW", 60))
 param = C.Param(n=n, L=L, delta=delta0)
 ks = prng.split(jax.random.PRNGKey(0), 3)
 t0 = time.time()
-sk, pk = C.new_key(ks[0], param)
+sk, pk = C.new_key(ks[0], param, h=h)
 rng = np.random.default_rng(1)
 z = rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)
 ct = C.encrypt(ks[1], param, pk,

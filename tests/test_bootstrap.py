@@ -172,7 +172,7 @@ def test_blind_rotation_fused_kernel_parity():
     a0 = jnp.concatenate([acc0.a.reshape(B, param.k, n),
                           acc0.b.reshape(B, 1, n)], axis=1)
     out = brp.blind_rotate_fused(shifts.astype(jnp.int32), a0,
-                                 gev.ev1, gev.ev2, n, w=8,
+                                 gev.ev1, gev.ev1s, gev.ev2, gev.ev2s, n, w=8,
                                  interpret=True, bb_override=2)
     np.testing.assert_array_equal(
         np.asarray(ref.a), np.asarray(out[:, :param.k, :]))
