@@ -38,6 +38,12 @@ U32 = jnp.uint32
 # (128K measured OOM against Mosaic's live wide-mul temporaries) while
 # cutting the grid to ~100 steps.
 LANE_TILE = 32 * 1024
+# The coefficient axis is folded to (rows, 128) INSIDE each limb so every
+# vector op runs on full (8, 128) VPU tiles: a flat [Ls, 32768] block makes
+# each per-limb slice a 1-sublane (1, 32768) vector — Mosaic pads it to
+# (8, 128) tiles at 1/8 utilization, measured ~3x slower end-to-end.
+LANES = 128
+ROW_TILE = LANE_TILE // LANES
 
 
 @lru_cache(maxsize=None)
@@ -144,16 +150,20 @@ def base_extend_fused(x, src: tuple, dst: tuple, centered: bool = False,
     Ls, Ld = len(src), len(dst)
     batch = x.shape[1:]
     total = int(np.prod(batch))
-    x32 = x.reshape(Ls, total).astype(U32)
     tile = LANE_TILE
-    while tile > 2048 and tile >= 2 * total:   # don't pad tiny inputs 64x
+    while tile > 1024 and tile >= 2 * total:   # don't pad tiny inputs 64x
         tile //= 2
+    rows_t = tile // LANES
     pad = (-total) % tile
+    x32 = x.reshape(Ls, total).astype(U32)
     if pad:
         x32 = jnp.pad(x32, ((0, 0), (0, pad)))
     m = x32.shape[1]
+    # fold coeffs to (rows, 128) so per-limb slices are full (8,128) tiles
+    x32 = x32.reshape(Ls, m // LANES, LANES)
     args = [x32]
-    in_specs = [pl.BlockSpec((Ls, tile), lambda i: (i * 0, i),
+    in_specs = [pl.BlockSpec((Ls, rows_t, LANES),
+                             lambda i: (i * 0, i, i * 0),
                              memory_space=pltpu.VMEM)]
     sm = None
     if sub_mul is not None:
@@ -163,20 +173,24 @@ def base_extend_fused(x, src: tuple, dst: tuple, centered: bool = False,
         w32 = w.reshape(Ld, total).astype(U32)
         if pad:
             w32 = jnp.pad(w32, ((0, 0), (0, pad)))
+        w32 = w32.reshape(Ld, m // LANES, LANES)
         args.append(w32)
-        in_specs.append(pl.BlockSpec((Ld, tile), lambda i: (i * 0, i),
+        in_specs.append(pl.BlockSpec((Ld, rows_t, LANES),
+                                     lambda i: (i * 0, i, i * 0),
                                      memory_space=pltpu.VMEM))
     kern = partial(_ext_fused_kernel, src=src, dst=dst, tab=tab, smod=smod,
                    him=him, cfix=cfix, centered=centered, sub_mul=sm)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Ld, m), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((Ld, m // LANES, LANES), jnp.uint32),
         grid=(m // tile,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((Ld, tile), lambda i: (i * 0, i),
+        out_specs=pl.BlockSpec((Ld, rows_t, LANES),
+                               lambda i: (i * 0, i, i * 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*args)
+    out = out.reshape(Ld, m)
     if pad:
         out = out[:, :total]
     return out.reshape((Ld,) + batch)     # u32; caller casts as needed
@@ -203,27 +217,33 @@ def base_extend_sum(ys, alpha, src: tuple, dst: tuple,
     ys32 = ys.reshape(Ls, total).astype(U32)
     al32 = alpha.reshape(total).astype(U32)
     tile = LANE_TILE
-    while tile > 2048 and tile >= 2 * total:
+    while tile > 1024 and tile >= 2 * total:
         tile //= 2
+    rows_t = tile // LANES
     pad = (-total) % tile
     if pad:
         ys32 = jnp.pad(ys32, ((0, 0), (0, pad)))
         al32 = jnp.pad(al32, ((0, pad),))
     m = ys32.shape[1]
+    ys32 = ys32.reshape(Ls, m // LANES, LANES)
+    al32 = al32.reshape(m // LANES, LANES)
     kern = partial(_ext_kernel, src=src, dst=dst, tab=tab, smod=smod)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((Ld, m), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((Ld, m // LANES, LANES), jnp.uint32),
         grid=(m // tile,),
         in_specs=[
-            pl.BlockSpec((Ls, tile), lambda i: (i * 0, i),
+            pl.BlockSpec((Ls, rows_t, LANES), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows_t, LANES), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Ld, tile), lambda i: (i * 0, i),
+        out_specs=pl.BlockSpec((Ld, rows_t, LANES),
+                               lambda i: (i * 0, i, i * 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(ys32, al32)
+    out = out.reshape(Ld, m)
     if pad:
         out = out[:, :total]
     return out.reshape((Ld,) + batch)     # u32; caller casts as needed
