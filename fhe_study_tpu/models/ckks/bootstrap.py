@@ -477,4 +477,5 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
         run.pout = cell["pout"]
         return ckks_rns.CT(o0, o1), cell["pout"]
 
+    run.jits = (j1, j2, j3)        # stage handles (HLO-size diagnostics)
     return run

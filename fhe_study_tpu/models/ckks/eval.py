@@ -316,26 +316,64 @@ def apply_rmap_plan(param, rk: RotKeys, ct, plan: RmapPlan):
                 ntt_multi(c.c1.astype(jnp.uint32), qs))
 
     # hoisted babies -> stacked eval operands [L, nb_all, B.., n]
-    # (slot order: need_d babies then need_e babies)
+    # (slot order: need_d babies then need_e babies).  The rotated babies of
+    # each source run as ONE lax.scan over stacked (perm, galois-map, key)
+    # tables — the unrolled loop compiled a full hybrid-KS body PER baby,
+    # and at production n (n1 = ~32 babies) the serialized module blew the
+    # remote-compile relay's request-size limit (HTTP 413, BENCH_r02).
     babies_d = sorted(plan.need_d)
     babies_e = sorted(plan.need_e)
     slot_of = {(0, j): i for i, j in enumerate(babies_d)}
     slot_of.update({(1, j): len(babies_d) + i
                     for i, j in enumerate(babies_e)})
+    def _babies_scanned(base, ed, rot_babies):
+        perms, srcs, negs, kbs, kas = [], [], [], [], []
+        for j in rot_babies:
+            g = galois.rotation_element(n, j)
+            perms.append(np.asarray(galois.eval_perm(n, g), np.int32))
+            src_t, neg_t = galois.galois_map(n, g)
+            srcs.append(np.asarray(src_t, np.int32))
+            negs.append(np.asarray(neg_t))
+            hk = rk.get(L, g)
+            kbs.append(hk.b)
+            kas.append(hk.a)
+        xs = (jnp.asarray(np.stack(perms)), jnp.asarray(np.stack(srcs)),
+              jnp.asarray(np.stack(negs)), jnp.stack(kbs), jnp.stack(kas))
+
+        def body(_, x):
+            perm, src_t, neg_t, kb, ka = x
+            r0, r1 = hybrid_ks.ks_hoisted(
+                param, hybrid_ks.HybridKSK(b=kb, a=ka),
+                jnp.take(ed, perm, axis=-1))
+            c0g = galois.apply_galois_tab(base.c0, src_t, neg_t, qs)
+            c0 = bfv_rns._addmod_v(c0g, r0, bfv_rns._qvec(qs, r0.ndim))
+            return None, (ntt_multi(c0.astype(jnp.uint32), qs),
+                          ntt_multi(r1.astype(jnp.uint32), qs))
+
+        _, (y0, y1) = jax.lax.scan(body, None, xs)
+        return y0, y1                     # [nb_rot, L, B.., n]
+
     parts0, parts1 = [], []
     for src, babies in ((0, babies_d), (1, babies_e)):
         base, ed = (ct, edm) if src == 0 else (zc, edm_c)
-        for j in babies:
-            if j == 0:
-                e0, e1 = to_eval(base)
-            else:
+        rot = [j for j in babies if j != 0]
+        if 0 in babies:                   # identity baby: plain to_eval
+            e0, e1 = to_eval(base)
+            parts0.append(e0[:, None])
+            parts1.append(e1[:, None])
+        if len(rot) > 4:
+            y0, y1 = _babies_scanned(base, ed, rot)
+            parts0.append(jnp.moveaxis(y0, 0, 1))
+            parts1.append(jnp.moveaxis(y1, 0, 1))
+        else:                             # small maps: keep the fusible form
+            for j in rot:
                 g = galois.rotation_element(n, j)
                 e0, e1 = to_eval(hybrid_ks.rotate_hoisted(
                     param, rk.get(L, g), base, g, ed))
-            parts0.append(e0)
-            parts1.append(e1)
-    EB0 = jnp.stack(parts0, axis=1)      # [L, nb_all, B.., n]
-    EB1 = jnp.stack(parts1, axis=1)
+                parts0.append(e0[:, None])
+                parts1.append(e1[:, None])
+    EB0 = jnp.concatenate(parts0, axis=1)      # [L, nb_all, B.., n]
+    EB1 = jnp.concatenate(parts1, axis=1)
 
     nbatch = ct.c0.ndim - 2
     qv32e, nqv32e, _ = (jnp.asarray(c)

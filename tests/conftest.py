@@ -25,6 +25,15 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compile cache: the tier's cost is dominated by CPU XLA compiles
+# of the big staged graphs (bootstrap/eval pipelines); re-runs hit the cache
+# and the review loop drops from ~tens of minutes to minutes
+_cache = os.path.join(os.path.dirname(__file__), "..", "_build", "jaxcache_cpu")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 # ---------------------------------------------------------------------------
 # Two test tiers: the DEFAULT tier (`pytest -q`) stays under ~10 min on the

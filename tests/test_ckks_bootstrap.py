@@ -15,7 +15,12 @@ def test_ckks_bootstrap_roundtrip():
     """End-to-end refresh through the PRODUCTION key path: precompute_keys
     (eval_shape key discovery, sk not retained) + make_staged jits — the
     eager whole-pipeline path is covered (bit-exactly vs the jitted one)
-    by test_ckks_bootstrap_frozen_jit in the slow tier."""
+    by test_ckks_bootstrap_frozen_jit in the slow tier.
+
+    L=18 is the minimum budget: the default pipeline consumes exactly 15
+    levels (C2S 1 + EvalMod 11 incl. arcsin + S2C 2 + final rescale) and
+    decrypt_to_coeffs needs 3 left.  Wall-clock relief comes from the
+    persistent compile cache in conftest.py, not a smaller config."""
     n, L = 32, 18
     delta0 = 2.0 ** 24
     param = C.Param(n=n, L=L, delta=delta0)

@@ -39,7 +39,10 @@ def test_mul_ct2_chain():
 
 
 def test_poly_eval2_precision():
-    param, sk, rlks, z, ct = _setup()
+    # smallest config with the full double-drop ladder: deg-3 poly consumes
+    # 6 levels and decrypt_to_coeffs needs 3 left (L=9); n=32 keeps every
+    # compile tiny (same code paths as the L=10 slow-tier chain test)
+    param, sk, rlks, z, ct = _setup(n=32, L=9)
     out, pout = P.poly_eval2(rlks, ct, param, [0.5, 1.0, 0.0, -0.25])
     assert pout.delta == param.delta          # fold restores the scale EXACTLY
     rr, ri = C.decode(pout, C.decrypt_to_coeffs(pout, sk, out))

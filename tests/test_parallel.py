@@ -16,6 +16,7 @@ def test_virtual_devices_present():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_negacyclic_mul_matches_single_device():
     m = mesh_mod.make_mesh(dp=1, ep=1, sp=8)
     rng = np.random.default_rng(0)
@@ -27,8 +28,9 @@ def test_sharded_negacyclic_mul_matches_single_device():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.slow
 def test_sharded_mul_sp2_with_batch_dp():
+    # fast-tier proxy for the 8-way shard test above (same collective
+    # exchange path at sp=2; the sp=8/n=1024 variant is slow-tier)
     m = mesh_mod.make_mesh(dp=4, ep=1, sp=2)
     rng = np.random.default_rng(1)
     n = 256
