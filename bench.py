@@ -461,7 +461,14 @@ def bench_bfv():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         sk, pk = R.new_key(ks[0], param)
-        rlk = R.rlk_key(ks[1], param, sk)
+        # hybrid (P-extended) 1-row relin is the production default: L+K
+        # digit transforms instead of L^2 (FHE_RELIN=gadget for the legacy
+        # RNS-gadget comparison)
+        if os.environ.get("FHE_RELIN", "hybrid") == "hybrid":
+            rlk = R.hybrid_rlk1(ks[1], param, sk)
+        else:
+            rlk = R.rlk_key(ks[1], param, sk)
+    krlk = type(rlk)
         m1 = prng.uniform_mod(ks[2], (B, n), t)
         m2 = prng.uniform_mod(ks[3], (B, n), t)
         c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
@@ -481,10 +488,10 @@ def bench_bfv():
         # (in-graph chaining amortizes the ~3 ms per-call tunnel dispatch).
         # First link runs outside the scan: it establishes the carry dtype
         # (relinearize emits u32 on the fused TPU path, u64 on CPU).
-        first = R.mul(param, R.RLK(rb, ra), R.CT(x0, x1), R.CT(y0, y1))
+        first = R.mul(param, krlk(rb, ra), R.CT(x0, x1), R.CT(y0, y1))
 
         def body(c, _):
-            o = R.mul(param, R.RLK(rb, ra), R.CT(c[0], c[1]),
+            o = R.mul(param, krlk(rb, ra), R.CT(c[0], c[1]),
                       R.CT(y0, y1))
             return (o.c0, o.c1), None
         (o0, o1), _ = jax.lax.scan(body, (first.c0, first.c1), None,
@@ -500,19 +507,19 @@ def bench_bfv():
         ye = R.to_evals(param, R.CT(y0, y1))
         ce = R.to_evals(param, R.CT(x0, x1))
         for _ in range(chain):
-            ce = R.mul_e(param, R.RLK(rb, ra), ce, ye)
+            ce = R.mul_e(param, krlk(rb, ra), ce, ye)
         r = R.from_evals(param, ce)
         return r.c0, r.c1
 
     if evalres:
         mul_jit = jax.jit(lambda x0, x1, y0, y1, rb, ra: tuple(
             R.from_evals(param, R.mul_e(
-                param, R.RLK(rb, ra), R.to_evals(param, R.CT(x0, x1)),
+                param, krlk(rb, ra), R.to_evals(param, R.CT(x0, x1)),
                 R.to_evals(param, R.CT(y0, y1))))))
         chain_jit = jax.jit(_mul_chain_e)
     else:
         mul_jit = jax.jit(lambda x0, x1, y0, y1, rb, ra: R.mul(
-            param, R.RLK(rb, ra), R.CT(x0, x1), R.CT(y0, y1)))
+            param, krlk(rb, ra), R.CT(x0, x1), R.CT(y0, y1)))
         chain_jit = jax.jit(_mul_chain)
     mul = lambda x0, x1, y0, y1: mul_jit(x0, x1, y0, y1, rlk.b, rlk.a)  # noqa: E731
     probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))

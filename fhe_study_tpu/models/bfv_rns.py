@@ -424,8 +424,13 @@ def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     return CT(r0, r1)
 
 
-def mul(param: RnsParam, rlk: RLK, x: CT, y: CT) -> CT:
+def mul(param: RnsParam, rlk, x: CT, y: CT) -> CT:
+    """ct x ct multiply; rlk selects the relinearization: RLK = RNS gadget
+    (L digit rows), HRLK = 1-row hybrid P-extension (fewer transforms,
+    see relinearize_hybrid)."""
     c0, c1, c2 = _tensor(param, x, y)
+    if isinstance(rlk, HRLK):
+        return relinearize_hybrid(param, rlk, c0, c1, c2)
     return relinearize(param, rlk, c0, c1, c2)
 
 
@@ -516,12 +521,102 @@ def mul_e(param: RnsParam, rlk: RLK, x: CTE, y: CTE) -> CTE:
                                 qinvm.reshape(pv32.shape), pv32, nq32p)
     out3 = fast_base_extend(r_p, ps, qs, centered=True)
     c0, c1, c2 = (out3[..., i, :] for i in range(3))
+    if isinstance(rlk, HRLK):
+        # 3'. 1-row hybrid relin (L+K digit transforms instead of L^2):
+        # coeff-domain result, then re-enter BOTH eval bases
+        r = relinearize_hybrid(param, rlk, c0, c1, c2)
+        x2 = jnp.stack([r.c0, r.c1], axis=-2).astype(jnp.uint32)
+        eq = ntt_multi(x2.reshape((param.L, -1, param.n)), qs
+                       ).reshape(x2.shape)
+        ep = ntt.ext_ntt(x2, qs, ps)
+        return CTE(eq[..., 0, :], eq[..., 1, :], ep[..., 0, :], ep[..., 1, :])
     # 3. gadget relin emitting the result in BOTH domains (eval Q + coeff Q)
     e0q, e1q, r0, r1 = ntt.ks_fused_eval(c2, rlk.b, rlk.a, qs, qs,
                                          adds=(c0, c1))
     # 4. re-enter the P basis: extend + forward NTT (fused)
     ep = ntt.ext_ntt(jnp.stack([r0, r1], axis=-2), qs, ps)
     return CTE(e0q, e1q, ep[..., 0, :], ep[..., 1, :])
+
+
+# -- hybrid (P-extended) relinearization --------------------------------------
+#
+# The RNS-gadget relin above burns L^2 digit transforms per multiply (L rows
+# x L primes).  The production alternative (same P-extension trick as
+# models/hybrid_ks.py, specialized to ONE digit row): the key encrypts
+# P*s^2 over the extended basis Q u P_K, the "digit" is c2 itself (extended
+# to the K auxiliary primes), and the contraction result is divided by P
+# with rounding.  Transform count per mul_e drops 34+35 -> 24+39 fwd+inv
+# (L=4, M=5, K=2) and the contraction shrinks from L^2 to L+K pointwise
+# rows.  Noise: |c2| <= ~2Q (canonical lift + a harmless extension slip), so
+# the relin error is ~ sqrt(n)*Q*sigma/P ~ 2^69 at the headline parameters —
+# far below the Q/2t = 2^111 budget, depth >= 3 capable (gadget relin stays
+# available for deeper circuits).  Semantic parity: the relinearization of
+# reference bfv/src/lib.rs:251-271 (any correct relin qualifies; pinned by
+# tests/test_bfv_rns.py depth tests).
+
+
+class HRLK(NamedTuple):
+    """1-row hybrid relin key over basis Q u P_K, NTT domain: [L+K, ..., N]."""
+    b: jax.Array
+    a: jax.Array
+
+
+@lru_cache(maxsize=None)
+def _hybrid_rlk1_jit(param: "RnsParam", K: int):
+    return jax.jit(lambda key, se: _hybrid_rlk1_impl(key, param, se, K=K))
+
+
+def hybrid_rlk1(key, param: RnsParam, sk: SecretKey, K: int = 2) -> HRLK:
+    """Hybrid relin key: encrypts P*s^2 under s over Q u P_K (P = prod of K
+    auxiliary primes, disjoint from Q and the tensor's P basis)."""
+    return _hybrid_rlk1_jit(param, K)(key, sk.s_evals)
+
+
+def _hybrid_rlk1_impl(key, param: RnsParam, s_evals, K: int = 2) -> HRLK:
+    from . import hybrid_ks as H
+    qs = param.qs
+    ks = H.ks_ext_primes(param, K)
+    both = qs + ks
+    P = 1
+    for p in ks:
+        P *= p
+    s = H._centered_coeffs(param, s_evals)          # small signed coeffs
+    se = ntt_multi(_to_residues(s, both), both)     # [L+K, n]
+    bv = _qvec(both, se.ndim)
+    mv = barrett_muv(both, se.ndim)
+    s2 = mulmod_v(se, se, bv, mv)                   # NTT(s^2) per prime
+    k_a, k_e = prng.split(key, 2)
+    a = prng.uniform_mod_multi(k_a, (param.n,), both)
+    e = _to_residues(prng.gaussian_int(k_e, (param.n,), ERR_SIGMA), both)
+    ea = ntt_multi(a, both)
+    ee = ntt_multi(e, both)
+    pg = jnp.asarray(np.array([P % p for p in both], np.uint64)
+                     ).reshape(bv.shape)            # == 0 on the K primes
+    b = _submod_v(_addmod_v(mulmod_v(s2, pg, bv, mv), ee, bv),
+                  mulmod_v(ea, se, bv, mv), bv)
+    return HRLK(b=b, a=ea)
+
+
+def relinearize_hybrid(param: RnsParam, hk: HRLK, c0, c1, c2):
+    """(c0 + round(P^-1 * c2 * hk.b), c1 + round(P^-1 * c2 * hk.a)) — the
+    1-row hybrid relin.  c2: [L, ..., n] residues over Q (any dtype);
+    returns coeff-domain u64 CT over Q."""
+    from . import hybrid_ks as H
+    qs = param.qs
+    K = hk.b.shape[0] - param.L
+    ks = H.ks_ext_primes(param, K)
+    both = qs + ks
+    d = jnp.concatenate([c2.astype(jnp.uint32),
+                         fast_base_extend(c2.astype(jnp.uint32), qs, ks)],
+                        axis=0)                     # [L+K, ..., n]
+    edm = ntt_multi(d, both, mont=True)
+    acc0, acc1 = ntt.ks_contract_multi(edm[None], hk.b[None], hk.a[None],
+                                       both)
+    ks0 = H._div_by_P_round(param, acc0.astype(U64), ks)
+    ks1 = H._div_by_P_round(param, acc1.astype(U64), ks)
+    qv = _qvec(qs, ks0.ndim)
+    return CT(_addmod_v(c0.astype(U64), ks0, qv),
+              _addmod_v(c1.astype(U64), ks1, qv))
 
 
 def ksk_key(key, param: RnsParam, sk_old: SecretKey, sk_new: SecretKey,

@@ -183,6 +183,30 @@ def negacyclic_mul(a, b, q: int):
 # Requires every prime < 2^32 (u64 products exact).
 # ---------------------------------------------------------------------------
 
+# id-keyed interning of CACHED numpy tables as device constants: a fresh
+# jnp.asarray(table) per call site becomes a SEPARATE constant in the
+# lowered module; at production shapes the stacked twiddle tables are
+# multi-MB and a staged bootstrap graph holds dozens of call sites — the
+# duplicated constants blew the remote-compile request body past the relay
+# limit (HTTP 413, BENCH_r02).  Feed it only lru-cached numpy arrays
+# (stable object ids); the jax value is uncommitted, so it follows the
+# computation to any device.
+_DEV_INTERN: dict = {}
+
+
+def _dev(x):
+    ent = _DEV_INTERN.get(id(x))
+    if ent is None or ent[0] is not x:
+        import jax
+        # ensure_compile_time_eval: inside a jit trace a bare asarray stages
+        # the constant as a TRACER — caching that leaks it (the CLAUDE.md
+        # "builders must return numpy" rule); this forces a concrete array
+        with jax.ensure_compile_time_eval():
+            ent = (x, jnp.asarray(x))
+        _DEV_INTERN[id(x)] = ent
+    return ent[1]
+
+
 def _qvec(qs, ndim):
     return jnp.asarray(np.array(qs, np.uint64)).reshape((len(qs),) + (1,) * (ndim - 1))
 
@@ -266,7 +290,7 @@ def ntt_multi(a, qs: tuple, mont: bool = False):
         return mulmod_v(r, rv, _qvec(qs, a.ndim),
                         barrett_muv(qs, a.ndim)
                         if max(qs) < (1 << 31) else None)
-    roots, _, _ = _multi_tables(qs, n)
+    roots = _dev(_multi_tables(qs, n)[0])  # ONE interned [L, n] constant
     qv = _qvec(qs, a.ndim + 1)            # broadcast over [L, batch..., m, t]
     muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None
     batch = a.shape[1:-1]
@@ -275,7 +299,7 @@ def ntt_multi(a, qs: tuple, mont: bool = False):
     while m < n:
         r = r.reshape((L,) + batch + (m, 2, t))
         u = r[..., 0, :]
-        s = roots[:, m:2 * m]             # [L, m]
+        s = roots[:, m:2 * m]             # [L, m] in-graph slice
         s = s.reshape((L,) + (1,) * len(batch) + (m, 1))
         v = mulmod_v(r[..., 1, :], s, qv, muv)
         r = jnp.stack([_addmod_v(u, v, qv), _submod_v(u, v, qv)], axis=-2)
@@ -305,7 +329,8 @@ def intt_multi(a, qs: tuple, scale: tuple | None = None):
         return ntt_pallas.ntt_multi_u32(a, qs, inverse=True, fin=fin)
     if a.dtype == jnp.uint32:
         return intt_multi(a.astype(U64), qs, scale=scale).astype(jnp.uint32)
-    _, roots_inv, n_inv = _multi_tables(qs, n)
+    _, roots_inv_np, n_inv = _multi_tables(qs, n)
+    roots_inv = _dev(roots_inv_np)        # ONE interned [L, n] constant
     if scale is not None:
         n_inv = np.array([(int(v) * int(s)) % q
                           for v, s, q in zip(n_inv, scale, qs)], np.uint64)

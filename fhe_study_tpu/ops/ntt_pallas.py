@@ -38,6 +38,18 @@ U32 = jnp.uint32
 # host-side tables
 # ---------------------------------------------------------------------------
 
+# id-keyed interning of CACHED numpy tables as device constants: every
+# kernel call site used to do its own jnp.asarray(table), and each conversion
+# becomes a SEPARATE constant in the lowered module — at production shapes
+# the multi-prime twiddle table is ~6 MB and a staged bootstrap graph holds
+# dozens of call sites, blowing the remote-compile request body past the
+# relay's limit (HTTP 413, BENCH_r02).  Closing over the SAME jax.Array
+# object dedupes them to one constant per table.  Only ever fed lru-cached
+# numpy arrays (stable ids); the value is created uncommitted (plain
+# asarray), so it follows the computation to any device.
+_dev = ntt_mod._dev
+
+
 @lru_cache(maxsize=None)
 def _mont32_consts(q: int):
     assert q % 2 == 1 and q < (1 << 31)
@@ -240,7 +252,7 @@ def _build_call(q: int, n: int, inverse: bool, block_b: int, interpret: bool):
             out_specs=pl.BlockSpec((block_b, n), lambda i: (i, i * 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
-        )(x, jnp.asarray(tw))
+        )(x, _dev(tw))
 
     return call
 
@@ -353,7 +365,7 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
         out_shape=jax.ShapeDtypeStruct((L, B, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(cons), xb, jnp.asarray(tw))
+    )(_dev(cons), xb, _dev(tw))
     return out.reshape((L,) + batch + (n,)).astype(orig_dtype)
 
 
@@ -474,6 +486,14 @@ def _dual_tw(qs: tuple, n: int):
 
 
 @lru_cache(maxsize=None)
+def _dual_tw_var(qs: tuple, n: int, fwd: bool):
+    """_dual_tw, or its inverse plane only — cached so _dev interning sees
+    a stable object id per variant."""
+    tw = _dual_tw(qs, n)
+    return tw if fwd else np.ascontiguousarray(tw[:, 1:])
+
+
+@lru_cache(maxsize=None)
 def _tensor_consts(qs: tuple, n: int, scale: tuple | None):
     cons = np.zeros((4, len(qs)), np.uint32)
     for i, q in enumerate(qs):
@@ -530,7 +550,7 @@ def tensor_mul_u32(x4, qs: tuple, scale: tuple | None = None,
         out_shape=jax.ShapeDtypeStruct((L, B, 3, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(cons), xb, jnp.asarray(tw))
+    )(_dev(cons), xb, _dev(tw))
     return out.reshape((L,) + batch + (3, n))
 
 
@@ -618,7 +638,7 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
         out_shape=jax.ShapeDtypeStruct((Ld, B, 3, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(cons), *ins, jnp.asarray(tw))
+    )(_dev(cons), *ins, _dev(tw))
     return out.reshape((Ld,) + batch + (3, n))
 
 
@@ -711,7 +731,7 @@ def tensor_eval4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
         out_shape=jax.ShapeDtypeStruct((Ld, B, 3, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(cons), *ins, jnp.asarray(tw))
+    )(_dev(cons), *ins, _dev(tw))
     return out.reshape((Ld,) + batch + (3, n))
 
 
@@ -801,7 +821,7 @@ def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None,
         out_shape=jax.ShapeDtypeStruct((Ld, B, P, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(cons), xb, jnp.asarray(tw))
+    )(_dev(cons), xb, _dev(tw))
     return out.reshape((Ld,) + batch + (P, n))
 
 
@@ -909,9 +929,7 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret, adds=None):
     if interpret is None:
         interpret = not _on_tpu()
     cons = _ks_consts(primes, n, fwd)
-    tw = _dual_tw(primes, n)
-    if not fwd:
-        tw = tw[:, 1:]                         # inverse plane only
+    tw = _dual_tw_var(primes, n, fwd)
     ntw = tw.shape[1]
     logn = n.bit_length() - 1
     kern = partial(_ks_kernel_multi, n=n, R=R, bb=bb, fwd=fwd, reps=reps,
@@ -928,7 +946,7 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret, adds=None):
         pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
         pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
     ]
-    args = [jnp.asarray(cons), xb, jnp.asarray(tw),
+    args = [_dev(cons), xb, _dev(tw),
             kbT.astype(jnp.uint32), kaT.astype(jnp.uint32)]
     if adds is not None:
         # [Lp, B, 1, n] each; dummy second-minor axis keeps the constrained
@@ -1100,7 +1118,7 @@ def ks_fused_eval_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
         out_shape=jax.ShapeDtypeStruct((Lp, B, 4, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(jnp.asarray(cons), xb, jnp.asarray(tw),
+    )(_dev(cons), xb, _dev(tw),
       jnp.moveaxis(kb, 0, 1).astype(jnp.uint32),
       jnp.moveaxis(ka, 0, 1).astype(jnp.uint32), av)
     r = out.reshape((Lp,) + batch + (4, n))

@@ -140,6 +140,39 @@ def test_eval_resident_mul_matches_mul():
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(w2))
 
 
+def test_hybrid_relin_mul():
+    """1-row hybrid (P-extended) relinearization: same product as the RNS
+    gadget, for mul AND mul_e, and a depth-2 chain decrypts (noise ~2^69 at
+    headline params stays far under the Q/2t budget — bfv_rns.HRLK docs)."""
+    param = R.RnsParam(n=256, t=16, L=3, M=4)
+    ks = prng.split(jax.random.PRNGKey(11), 8)
+    B = 2
+    sk, pk = R.new_key(ks[0], param)
+    hk = R.hybrid_rlk1(ks[1], param, sk)
+    assert hk.b.shape == (param.L + 2, param.n)
+    ms = [prng.uniform_mod(ks[2 + i], (B, param.n), param.t)
+          for i in range(3)]
+    cts = [R.encrypt(ks[5 + i], param, pk, ms[i], batch=(B,))
+           for i in range(3)]
+    c3 = R.mul(param, hk, cts[0], cts[1])
+    rec = R.decrypt(param, sk, c3)
+    want = _naive_pt_mul(ms[0], ms[1], param.t, param.n)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(want))
+    # eval-resident hybrid path is bit-identical to the coeff path
+    ce = R.mul_e(param, hk, R.to_evals(param, cts[0]),
+                 R.to_evals(param, cts[1]))
+    got = R.from_evals(param, ce)
+    np.testing.assert_array_equal(np.asarray(got.c0), np.asarray(c3.c0))
+    np.testing.assert_array_equal(np.asarray(got.c1), np.asarray(c3.c1))
+    # depth 2 under hybrid relin
+    c123 = R.mul(param, hk, c3, cts[2])
+    rec2 = R.decrypt(param, sk, c123)
+    w12 = rn.naive_poly_mul(ms[0].astype(jnp.int64), ms[1].astype(jnp.int64))
+    want2 = rn.to_rq(rn.naive_poly_mul(w12, ms[2].astype(jnp.int64)),
+                     param.t, param.n)
+    np.testing.assert_array_equal(np.asarray(rec2), np.asarray(want2))
+
+
 def test_ct_mul_depth2_with_mod_switch():
     """(m1·m2)·m3 with a modulus drop between — noise management works."""
     param = R.RnsParam(n=256, t=4, L=4, M=5)
