@@ -468,7 +468,7 @@ def bench_bfv():
             rlk = R.hybrid_rlk1(ks[1], param, sk)
         else:
             rlk = R.rlk_key(ks[1], param, sk)
-    krlk = type(rlk)
+        krlk = type(rlk)
         m1 = prng.uniform_mod(ks[2], (B, n), t)
         m2 = prng.uniform_mod(ks[3], (B, n), t)
         c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
@@ -577,8 +577,27 @@ def bench_bfv():
     })
 
 
+def bench_sweep():
+    """dp-batch scaling curve for the headline config on one chip
+    (BASELINE.md scaling-efficiency row; run manually, recorded in
+    BENCH.md — not part of the default scorecard rotation)."""
+    for b in (32, 64, 128, 256):
+        os.environ["FHE_BENCH_B"] = str(b)
+        try:
+            bench_bfv()
+        except Exception as e:
+            print(json.dumps({"metric": f"bfv_sweep_B{b}_ERROR", "value": 0,
+                              "unit": "error", "vs_baseline": 0.0,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+    os.environ.pop("FHE_BENCH_B", None)
+
+
 def main():
     kind = os.environ.get("FHE_BENCH_KIND", "all")
+    if kind == "sweep":
+        bench_sweep()
+        return
     modes = {
         # order: kernel roofline first (cheap; sets the ceiling the headline
         # quotes), then the HEADLINE (bfv ct-mul) so it lands no matter what

@@ -600,23 +600,52 @@ def _hybrid_rlk1_impl(key, param: RnsParam, s_evals, K: int = 2) -> HRLK:
 def relinearize_hybrid(param: RnsParam, hk: HRLK, c0, c1, c2):
     """(c0 + round(P^-1 * c2 * hk.b), c1 + round(P^-1 * c2 * hk.a)) — the
     1-row hybrid relin.  c2: [L, ..., n] residues over Q (any dtype);
-    returns coeff-domain u64 CT over Q."""
+    returns a u32 CT over Q (consumers lift, same contract as relinearize).
+
+    The P-division round(acc/P) = (acc_Q − centered-ext(acc_P)) · P^{-1}
+    runs as ONE fused extension kernel per output (the centered + sub_mul
+    epilogue of ext_pallas.base_extend_fused); nothing here touches
+    emulated-u64 XLA lanes."""
     from . import hybrid_ks as H
+    from ..ops import modops32
+    from ..ops.ntt import _pallas_ok
     qs = param.qs
-    K = hk.b.shape[0] - param.L
+    L = param.L
+    K = hk.b.shape[0] - L
     ks = H.ks_ext_primes(param, K)
     both = qs + ks
+    P = 1
+    for p in ks:
+        P *= p
     d = jnp.concatenate([c2.astype(jnp.uint32),
                          fast_base_extend(c2.astype(jnp.uint32), qs, ks)],
                         axis=0)                     # [L+K, ..., n]
     edm = ntt_multi(d, both, mont=True)
     acc0, acc1 = ntt.ks_contract_multi(edm[None], hk.b[None], hk.a[None],
                                        both)
-    ks0 = H._div_by_P_round(param, acc0.astype(U64), ks)
-    ks1 = H._div_by_P_round(param, acc1.astype(U64), ks)
-    qv = _qvec(qs, ks0.ndim)
-    return CT(_addmod_v(c0.astype(U64), ks0, qv),
-              _addmod_v(c1.astype(U64), ks1, qv))
+    acc0 = acc0.astype(jnp.uint32)
+    acc1 = acc1.astype(jnp.uint32)
+    pinv = tuple(pow(P, -1, q) for q in qs)
+    if all(_pallas_ok(q, param.n) for q in both):
+        from ..ops import ext_pallas
+        ks0 = ext_pallas.base_extend_fused(acc0[L:], ks, qs, centered=True,
+                                           w=acc0[:L], sub_mul=pinv)
+        ks1 = ext_pallas.base_extend_fused(acc1[L:], ks, qs, centered=True,
+                                           w=acc1[:L], sub_mul=pinv)
+    else:
+        qv32, nq32, _ = (jnp.asarray(c)
+                         for c in modops32.consts(qs, acc0.ndim - 0))
+        pinvm = jnp.asarray(np.array([(v << 32) % q for v, q in
+                                      zip(pinv, qs)], np.uint32)
+                            ).reshape(qv32.shape)
+        def div(acc):
+            frac = fast_base_extend(acc[L:], ks, qs, centered=True)
+            return modops32.mont_mul(modops32.submod(acc[:L], frac, qv32),
+                                     pinvm, qv32, nq32)
+        ks0, ks1 = div(acc0), div(acc1)
+    qv32a, _, _ = (jnp.asarray(c) for c in modops32.consts(qs, ks0.ndim))
+    return CT(modops32.addmod(c0.astype(jnp.uint32), ks0, qv32a),
+              modops32.addmod(c1.astype(jnp.uint32), ks1, qv32a))
 
 
 def ksk_key(key, param: RnsParam, sk_old: SecretKey, sk_new: SecretKey,

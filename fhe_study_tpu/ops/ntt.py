@@ -83,27 +83,11 @@ import os as _os
 # _pallas_ok still gates per-call on platform (tpu/axon) and shape.
 _USE_PALLAS = _os.environ.get("FHE_USE_PALLAS_NTT", "1") != "0"
 
-# Route multi-prime transforms through the MXU four-step matmul formulation
-# (ops/ntt_mxu.py) — preferred over the VPU butterfly kernel at large n.
-_USE_MXU = _os.environ.get("FHE_USE_MXU_NTT") == "1"
-
-
-def _mxu_ok(qs, n: int) -> bool:
-    if not _USE_MXU or n & (n - 1):
-        return False
-    from . import ntt_mxu
-    if not ntt_mxu.mxu_supported(n):
-        return False
-    if any(q >= (1 << 31) for q in qs):
-        return False
-    try:
-        import jax as _jax
-        dd = _jax.config.jax_default_device
-        if dd is not None:
-            return getattr(dd, "platform", "") in ("tpu", "axon")
-        return _jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+# NB: there is deliberately NO MXU (matmul four-step) transform path.  It
+# was built, proven bit-exact, measured ~10x slower than the butterfly
+# kernel, and removed — see BENCH.md "Why the NTT does not use the MXU"
+# for the speed-of-light arithmetic (the per-element limb-recombination
+# glue on the VPU costs as much as the whole butterfly chain).
 
 
 def _pallas_ok(q: int, n: int) -> bool:
@@ -274,9 +258,6 @@ def ntt_multi(a, qs: tuple, mont: bool = False):
     if n == 1:
         assert not mont
         return a
-    if _mxu_ok(qs, n) and not mont:
-        from . import ntt_mxu
-        return ntt_mxu.ntt_multi_mxu(a, qs)
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
         fin = tuple((1 << 32) % q for q in qs) if mont else None
@@ -318,9 +299,6 @@ def intt_multi(a, qs: tuple, scale: tuple | None = None):
     if n == 1:
         assert scale is None
         return a
-    if _mxu_ok(qs, n) and scale is None:
-        from . import ntt_mxu
-        return ntt_mxu.intt_multi_mxu(a, qs)
     if all(_pallas_ok(q, n) for q in qs):
         from . import ntt_pallas
         fin = (tuple((pow(n, q - 2, q) * int(s)) % q

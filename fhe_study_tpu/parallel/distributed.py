@@ -51,10 +51,14 @@ def initialize(coordinator_address: str | None = None,
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and os.environ.get("JAX_PROCESS_ID"):
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    on_tpu_pod = jax.default_backend() == "tpu" and os.environ.get(
-        "TPU_WORKER_HOSTNAMES") is not None
-    if coordinator_address is None and not on_tpu_pod:
-        return False          # single-process run — nothing to initialize
+    if coordinator_address is None:
+        # NB: only probe the backend on the no-coordinator path —
+        # jax.default_backend() initializes XLA, and jax.distributed must
+        # come first when a coordinator IS configured
+        on_tpu_pod = jax.default_backend() == "tpu" and os.environ.get(
+            "TPU_WORKER_HOSTNAMES") is not None
+        if not on_tpu_pod:
+            return False      # single-process run — nothing to initialize
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -83,15 +87,24 @@ def hybrid_mesh(ici: dict[str, int] | None = None,
     axis_names = (dcn_axis, "ep", "sp", "tp")
 
     if jax.process_count() > 1:
-        from jax.experimental import mesh_utils
         per_host = jax.local_device_count()
         assert per_host % ici_total == 0, \
             f"host has {per_host} chips, ici axes need {ici_total}"
         dp = jax.device_count() // ici_total
-        devs = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(dp // jax.process_count(), ici["ep"], ici["sp"],
-                        ici["tp"]),
-            dcn_mesh_shape=(jax.process_count(), 1, 1, 1))
+        try:
+            from jax.experimental import mesh_utils
+            devs = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(dp // jax.process_count(), ici["ep"], ici["sp"],
+                            ici["tp"]),
+                dcn_mesh_shape=(jax.process_count(), 1, 1, 1))
+        except ValueError:
+            # CPU / mock backends carry no slice_index attribute (mesh_utils
+            # counts 1 slice); group by owning process instead — same
+            # topology: dp outermost spanning the process (DCN) tier
+            devices = sorted(jax.devices(),
+                             key=lambda d: (d.process_index, d.id))
+            devs = np.array(devices).reshape(dp, ici["ep"], ici["sp"],
+                                             ici["tp"])
         return Mesh(devs, axis_names=axis_names)
 
     devices = jax.devices()

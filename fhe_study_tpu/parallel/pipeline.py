@@ -159,8 +159,14 @@ def dryrun_rns(mesh: Mesh, n: int = 4096):
     sh = NamedSharding(mesh, P("ep", "dp", None))          # [L, B, n]
     c1 = R.CT(*[jax.device_put(x, sh) for x in c1])
     c2 = R.CT(*[jax.device_put(x, sh) for x in c2])
-    out = jax.jit(lambda a, b: R.mul(param, rlk, a, b))(c1, c2)
+    f = jax.jit(lambda a, b: R.mul(param, rlk, a, b))
+    out = f(c1, c2)
     jax.block_until_ready(out)
+    import time as _time
+    t0 = _time.perf_counter()
+    jax.block_until_ready(f(c1, c2))
+    print(f"[dryrun] mesh={dict(mesh.shape)} RNS ct-mul (ep x dp, n={n}): "
+          f"{(_time.perf_counter() - t0) * 1e3:.1f} ms", flush=True)
     rec = np.asarray(R.decrypt(param, sk, out))
     want = np.asarray(modops.coerce_i64(ntt.polymul_i64_crt(
         m1.astype(jnp.int64), m2.astype(jnp.int64)), param.t))
@@ -224,6 +230,14 @@ def dryrun(n_devices: int):
     step = multichip_ct_mul_step(mesh, param, ks_param, beta, l)
     out, ep_prod, sp_prod, ks_out = step(c1, c2, rlk, ksk, gct)
     jax.block_until_ready((out, ep_prod, sp_prod, ks_out))
+    # per-axis step timing (execute-only, warm) — a coarse topology-
+    # regression signal on the virtual mesh (VERDICT r2 #9); printed, not
+    # asserted (CPU-backend timings are indicative only)
+    import time as _time
+    t0 = _time.perf_counter()
+    jax.block_until_ready(step(c1, c2, rlk, ksk, gct))
+    print(f"[dryrun] mesh={dict(mesh.shape)} full step (dp+ep+sp+tp): "
+          f"{(_time.perf_counter() - t0) * 1e3:.1f} ms", flush=True)
 
     # sanity: the sharded step must be CORRECT, not just compile
     from ..arith import rn

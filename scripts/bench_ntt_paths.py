@@ -19,7 +19,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np
 import jax.numpy as jnp
 from fhe_study_tpu.ops import ntt as N
-from fhe_study_tpu.ops import ntt_mxu, ntt_pallas
+from fhe_study_tpu.ops import ntt_pallas
 from fhe_study_tpu.ops.primes import ntt_primes
 
 
@@ -49,7 +49,6 @@ def main():
     paths = {
         "xla_butterfly": jax.jit(lambda a: N.ntt_multi(a, qs)),
         "pallas": jax.jit(lambda a: ntt_pallas.ntt_multi_u32(a, qs)),
-        "mxu": jax.jit(lambda a: ntt_mxu.ntt_multi_mxu(a, qs)),
     }
     for name, f in paths.items():
         try:

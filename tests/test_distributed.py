@@ -50,3 +50,49 @@ def test_v5e16_launch_config_consistent():
 def test_dryrun_hybrid_rns_and_sp():
     # the multi-host code path at production ring size, decrypt-verified
     pipeline.dryrun_hybrid(8)
+
+
+def test_two_process_distributed_ct_mul():
+    """REAL multi-process execution (BASELINE.md ">= 2 hosts" row): two OS
+    processes, jax.distributed coordination service, an 8-device global
+    runtime (4 virtual CPU devices per process), a dp-sharded RNS-BFV
+    ct-mul decrypt-verified per-process, and a genuine cross-process
+    all-reduce — see scripts/distributed_worker.py for the program."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    root = os.path.join(os.path.dirname(__file__), "..")
+    worker = os.path.join(root, "scripts", "distributed_worker.py")
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                  "PYTHONPATH"):
+            env.pop(k, None)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, worker], env=env, cwd=root,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+    for pid, out in enumerate(outs):
+        assert f"DIST2PROC OK p{pid}" in out, out[-3000:]
