@@ -126,7 +126,8 @@ def bench_tfhe():
     t = int(os.environ.get("FHE_BENCH_T", 8))
     B = int(os.environ.get("FHE_BENCH_B", 64))   # fused chain amortizes
     iters = int(os.environ.get("FHE_BENCH_ITERS", 1))
-    beta, l = 256, 3
+    beta = int(os.environ.get("FHE_BENCH_BETA", 256))
+    l = int(os.environ.get("FHE_BENCH_LBR", 3))
     beta_ks, l_ks = 16, 8
 
     param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
@@ -196,7 +197,8 @@ def bench_tfhe_prod():
     t = int(os.environ.get("FHE_BENCH_T", 8))
     B = int(os.environ.get("FHE_BENCH_B", 64))
     iters = int(os.environ.get("FHE_BENCH_ITERS", 1))
-    beta, l = 256, 3
+    beta = int(os.environ.get("FHE_BENCH_BETA", 256))
+    l = int(os.environ.get("FHE_BENCH_LBR", 3))
     beta_ks, l_ks = 16, 8
 
     param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
@@ -555,13 +557,16 @@ def bench_bfv():
     ok = bool((np.asarray(rec) == np.asarray(want)).all())
 
     value = B * chain * iters / dt
-    # butterfly accounting for the roofline fraction: the coeff-domain
-    # ct-mul pipeline runs 4L+4M+L^2 forward + 3L+3M+2L inverse transforms
-    # of size n; the eval-resident mul_e drops the operand forwards to
-    # L^2+2L+2M (relin digits + NTT(adds) + P re-entry)
+    # butterfly accounting for the roofline fraction: relin digit
+    # transforms are L^2 fwd + 2L inv (gadget) or (L+K) fwd + 2(L+K) inv
+    # (1-row hybrid, K=2); the eval-resident mul_e drops the 4L+4M operand
+    # forwards to 2L+2M (NTT(result) + P re-entry)
     logn = n.bit_length() - 1
-    fwd = (L * L + 2 * L + 2 * M) if evalres else (4 * L + 4 * M + L * L)
-    n_tr = fwd + (3 * L + 3 * M + 2 * L)
+    K = 2
+    relin_fwd, relin_inv = ((L + K, 2 * (L + K)) if krlk is R.HRLK
+                            else (L * L, 2 * L))
+    fwd = relin_fwd + (2 * L + 2 * M if evalres else 4 * L + 4 * M)
+    n_tr = fwd + (3 * L + 3 * M) + relin_inv
     bf_per_mul = n_tr * logn * (n // 2)
     bf_s = value * bf_per_mul
     extra = {"butterflies_per_sec": round(bf_s, 0)}

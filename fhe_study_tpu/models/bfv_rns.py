@@ -242,7 +242,9 @@ def rlk_key(key, param: RnsParam, sk: SecretKey, batch=()):
     shp = tuple(batch) + (param.n,)
     # a: [L_rows, L_primes, batch..., n] — one sampler op (vector moduli),
     # batched NTTs via the repeated-primes trick (no per-row traced loops)
-    a = prng.uniform_mod_multi(k_a, shp, qs * L).reshape((L, L) + shp)
+    a = prng.uniform_mod_multi(k_a, (L,) + shp, qs
+                               ).transpose((1, 0) + tuple(
+                                   range(2, 2 + len(shp))))
     e = jnp.swapaxes(_to_residues(
         prng.gaussian_int(k_e, (L,) + shp, ERR_SIGMA), qs), 0, 1)
     qv = _qvec(qs, a.ndim - 1)
@@ -253,10 +255,10 @@ def rlk_key(key, param: RnsParam, sk: SecretKey, batch=()):
     g = np.array([[ (bq.hat[i] * int(bq.hat_inv[i])) % q for q in qs]
                   for i in range(L)], np.uint64)
     gv = jnp.asarray(g).reshape((L, L) + (1,) * (a.ndim - 2))
-    ea = ntt_multi(a.reshape((L * L,) + shp), qs * L).reshape(a.shape)
+    ea = jnp.moveaxis(ntt_multi(jnp.moveaxis(a, 1, 0), qs), 0, 1)
     as_ = mulmod_v(ea, sq[None], qv[None], mv[None])
     s2g = mulmod_v(s2[None], gv, qv[None], mv[None])
-    ee = ntt_multi(e.reshape((L * L,) + shp), qs * L).reshape(e.shape)
+    ee = jnp.moveaxis(ntt_multi(jnp.moveaxis(e, 1, 0), qs), 0, 1)
     b = _submod_v(_addmod_v(s2g, ee, qv[None]), as_, qv[None])
     return RLK(b=b, a=ea)
 

@@ -103,10 +103,10 @@ def _hybrid_ksk_impl(key, param, s_old_evals, s_new_evals,
     g = np.array([[(P * bq.hat[i] * int(bq.hat_inv[i])) % q for q in both]
                   for i in range(L)], np.uint64)
     gv = jnp.asarray(g).reshape((L, nb) + (1,) * (a.ndim - 2))
-    ea = ntt_multi(a.reshape((L * nb, n)), both * L).reshape(a.shape)
+    ea = jnp.moveaxis(ntt_multi(jnp.moveaxis(a, 1, 0), both), 0, 1)
     as_ = mulmod_v(ea, se_new[None], bv[None], mv[None])
     sg = mulmod_v(se_old[None], gv, bv[None], mv[None])
-    ee = ntt_multi(e.reshape((L * nb, n)), both * L).reshape(e.shape)
+    ee = jnp.moveaxis(ntt_multi(jnp.moveaxis(e, 1, 0), both), 0, 1)
     b = _submod_v(_addmod_v(sg, ee, bv[None]), as_, bv[None])
     return HybridKSK(b=b, a=ea)
 
@@ -149,9 +149,8 @@ def hoist_digits(param, c1, K: int = 2):
     d = barrett_red(c1[:, None, ...], bv[None, ...], bmu[None, ...])
     # the forward kernel's epilogue lifts into the Montgomery domain —
     # no separate to_mont pass over the [L, L+K, ..., n] digit grid
-    return ntt_multi(d.reshape((L * len(both),) + d.shape[2:])
-                     .astype(jnp.uint32), both * L, mont=True
-                     ).reshape(d.shape)
+    return jnp.moveaxis(ntt_multi(
+        jnp.moveaxis(d, 1, 0).astype(jnp.uint32), both, mont=True), 0, 1)
 
 
 def ks_hoisted(param, hksk: HybridKSK, edm):

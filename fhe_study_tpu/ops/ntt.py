@@ -239,10 +239,23 @@ def barrett_muv(qs: tuple, ndim: int):
 @lru_cache(maxsize=None)
 def _multi_tables(qs: tuple, n: int):
     assert all(q < (1 << 32) for q in qs)
-    roots = np.stack([get_plan(q, n).roots for q in qs])          # [L, n]
-    roots_inv = np.stack([get_plan(q, n).roots_inv for q in qs])
     n_inv = np.array([get_plan(q, n).n_inv for q in qs], np.uint64)
-    return roots, roots_inv, n_inv
+    return n_inv
+
+
+@lru_cache(maxsize=None)
+def _plan_row(q: int, n: int, inverse: bool):
+    """Per-prime [1, n] root table (numpy, stable id for _dev interning)."""
+    p = get_plan(q, n)
+    return np.ascontiguousarray((p.roots_inv if inverse else p.roots)[None])
+
+
+def _roots_dev(qs: tuple, n: int, inverse: bool):
+    """[L, n] root table as an in-graph concat of per-PRIME interned
+    constants — constants dedupe across every prime-set variant (levels),
+    the same 413-guard as ntt_pallas._tw_dev."""
+    parts = [_dev(_plan_row(q, n, inverse)) for q in qs]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
 
 def ntt_multi(a, qs: tuple, mont: bool = False):
@@ -271,7 +284,7 @@ def ntt_multi(a, qs: tuple, mont: bool = False):
         return mulmod_v(r, rv, _qvec(qs, a.ndim),
                         barrett_muv(qs, a.ndim)
                         if max(qs) < (1 << 31) else None)
-    roots = _dev(_multi_tables(qs, n)[0])  # ONE interned [L, n] constant
+    roots = _roots_dev(qs, n, False)      # per-prime interned constants
     qv = _qvec(qs, a.ndim + 1)            # broadcast over [L, batch..., m, t]
     muv = barrett_muv(qs, a.ndim + 1) if max(qs) < (1 << 31) else None
     batch = a.shape[1:-1]
@@ -307,8 +320,8 @@ def intt_multi(a, qs: tuple, scale: tuple | None = None):
         return ntt_pallas.ntt_multi_u32(a, qs, inverse=True, fin=fin)
     if a.dtype == jnp.uint32:
         return intt_multi(a.astype(U64), qs, scale=scale).astype(jnp.uint32)
-    _, roots_inv_np, n_inv = _multi_tables(qs, n)
-    roots_inv = _dev(roots_inv_np)        # ONE interned [L, n] constant
+    n_inv = _multi_tables(qs, n)
+    roots_inv = _roots_dev(qs, n, True)   # per-prime interned constants
     if scale is not None:
         n_inv = np.array([(int(v) * int(s)) % q
                           for v, s, q in zip(n_inv, scale, qs)], np.uint64)
@@ -449,8 +462,8 @@ def ks_fused_eval(c_limbs, kb, ka, primes: tuple, src_primes: tuple, adds):
                          (R, Lp) + c_limbs.shape[1:])
     for _ in range(reps):
         d = jnp.where(d >= prow, d - prow, d)
-    edm = ntt_multi(d.reshape((R * Lp,) + d.shape[2:]), primes * R,
-                    mont=True).reshape(d.shape)
+    edm = jnp.moveaxis(ntt_multi(jnp.moveaxis(d, 1, 0), primes,
+                                 mont=True), 0, 1)
     qv32, nqv32, _ = (jnp.asarray(c)[None]
                       for c in modops32.consts(primes, edm.ndim - 1))
     rb = _key_mid(kb, edm.ndim).astype(jnp.uint32)
@@ -461,9 +474,8 @@ def ks_fused_eval(c_limbs, kb, ka, primes: tuple, src_primes: tuple, adds):
     for i in range(1, R):
         acc0 = modops32.addmod(acc0, pb[i], qv32[0])
         acc1 = modops32.addmod(acc1, pa[i], qv32[0])
-    ea = ntt_multi(jnp.stack([a.astype(jnp.uint32) for a in adds], 0
-                             ).reshape((2 * Lp,) + adds[0].shape[1:]),
-                   primes * 2).reshape((2, Lp) + adds[0].shape[1:])
+    ea = jnp.moveaxis(ntt_multi(
+        jnp.stack([a.astype(jnp.uint32) for a in adds], 1), primes), 1, 0)
     e0 = modops32.addmod(acc0, ea[0], qv32[0])
     e1 = modops32.addmod(acc1, ea[1], qv32[0])
     r0 = intt_multi(e0, primes)
@@ -535,8 +547,8 @@ def ks_fused_multi(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
                          (R, Lp) + c_limbs.shape[1:])
     for _ in range(reps):
         d = jnp.where(d >= prow, d - prow, d)
-    edm = ntt_multi(d.reshape((R * Lp,) + d.shape[2:]), primes * R,
-                    mont=True).reshape(d.shape)
+    edm = jnp.moveaxis(ntt_multi(jnp.moveaxis(d, 1, 0), primes,
+                                 mont=True), 0, 1)
     r0, r1 = ks_contract_multi(edm, kb, ka, primes)
     if adds is None:
         return r0, r1

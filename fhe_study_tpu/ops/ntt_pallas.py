@@ -51,6 +51,36 @@ _dev = ntt_mod._dev
 
 
 @lru_cache(maxsize=None)
+def _tw_prime(q: int, n: int, planes: str):
+    """Per-prime twiddle block (numpy, stable id — see _dev):
+    "fwd"/"inv" -> [1, 2(w/shoup), logn, n];
+    "both" -> [1, 2(fwd/inv), 2, logn, n];
+    "fwdp"/"invp" -> [1, 1, 2, logn, n] (one plane, axis kept)."""
+    fwd, inv, _ = _stage_tables(q, n)
+    if planes == "fwd":
+        return fwd[None]
+    if planes == "inv":
+        return inv[None]
+    if planes == "fwdp":
+        return np.ascontiguousarray(fwd[None, None])
+    if planes == "invp":
+        return np.ascontiguousarray(inv[None, None])
+    return np.ascontiguousarray(np.stack([fwd, inv])[None])
+
+
+def _tw_dev(qs: tuple, n: int, planes: str):
+    """Stacked multi-prime twiddles as an in-graph concat of per-PRIME
+    interned constants.  A fused module holds one kernel call per prime-set
+    variant (every rescale level is a different tuple), and stacking
+    host-side made each variant its own multi-MB HLO constant — the main
+    remote-compile 413 driver.  Per-prime interning dedupes across ALL
+    variants (40 unique blocks serve every level); the concat itself is
+    compile-time foldable."""
+    parts = [_dev(_tw_prime(q, n, planes)) for q in qs]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+
+@lru_cache(maxsize=None)
 def _mont32_consts(q: int):
     assert q % 2 == 1 and q < (1 << 31)
     nqinv = (-pow(q, -1, 1 << 32)) % (1 << 32)   # -q^{-1} mod 2^32
@@ -262,18 +292,53 @@ def _build_call(q: int, n: int, inverse: bool, block_b: int, interpret: bool):
 # grid (prime, batch-block), per-prime (q, nqinv, n_inv) via scalar prefetch.
 # ---------------------------------------------------------------------------
 
+def _shoup_mul_lazy(a, w, wp, q):
+    """a*w mod q WITHOUT the final correction: result in [0, 2q) (Harvey).
+    Valid for any a < 2^32, w < q < 2^31."""
+    hi = _mul32_hi(a, wp)
+    return a * w - hi * q
+
+
+def _norm2q(x, q2):
+    return jnp.where(x >= q2, x - q2, x)
+
+
+def _fwd_stage_lazy(x, y, first, tw, twp, q, q2):
+    """One lazy CT butterfly stage: inputs normalized to [0, 2q) by the
+    caller; outputs in [0, 4q).  Saves the per-op conditional corrections
+    of addmod/submod/shoup (one _norm2q at stage entry instead of three
+    compare-selects) — measured ~15% off the whole chain at q < 2^30."""
+    p = _shoup_mul_lazy(jnp.where(first, y, x), tw, twp, q)
+    return jnp.where(first, x + p, (y + q2) - p)
+
+
+def _inv_stage_lazy(x, y, first, tw, twp, q, q2):
+    """One lazy GS stage: x, y in [0, 2q); add branch in [0, 4q), shoup
+    branch already in [0, 2q)."""
+    return jnp.where(first, x + y,
+                     _shoup_mul_lazy((y + q2) - x, tw, twp, q))
+
+
 def _ntt_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, inverse,
-                      final):
+                      final, lazy):
     q = consts_ref[0, pl.program_id(0)]
     fin = consts_ref[1, pl.program_id(0)]     # final multiplier (n_inv for a
     fin_sh = consts_ref[2, pl.program_id(0)]  # plain INTT; may fold t, R,
     rows = n // LANES                         # R^-1 — see ntt_multi_u32)
     x = x_ref[...].reshape(x_ref.shape[1], rows, LANES)
     logn = n.bit_length() - 1
+    q2 = q + q
     for s in range(logn):
         t = (n >> (s + 1)) if not inverse else (1 << s)
         tw = tw_ref[0, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[0, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            first = _first_half_mask(x.shape, t)
+            stage = _inv_stage_lazy if inverse else _fwd_stage_lazy
+            x = stage(x, y, first, tw, twp, q, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         if not inverse:
@@ -284,8 +349,12 @@ def _ntt_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, inverse,
             x = jnp.where(first, _addmod_dyn(x, y, q),
                           _shoup_mul(diff, tw, twp, q))
     if final:
+        # _shoup_mul accepts any u32 input and fully reduces: the lazy
+        # [0, 4q) residue collapses here for free
         x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
                        jnp.full_like(x, 1) * fin_sh, q)
+    elif lazy:
+        x = _norm2q(_norm2q(x, q2), q)        # [0, 4q) -> exact [0, q)
     o_ref[...] = x.reshape(x_ref.shape)
 
 
@@ -314,16 +383,13 @@ def _multi_consts(qs: tuple, n: int, fin: tuple | None = None):
     lift (R), a de-lift (R^-1), or a plaintext scale (t) into the kernel's
     last in-VMEM multiply instead of paying a full HBM pass."""
     cons = np.zeros((3, len(qs)), np.uint32)
-    fwd_all, inv_all = [], []
     for i, q in enumerate(qs):
-        fwd, inv, ninv_pair = _stage_tables(q, n)
+        ninv_pair = _stage_tables(q, n)[2]
         f = int(ninv_pair[0]) if fin is None else int(fin[i]) % q
         cons[0, i] = q
         cons[1, i] = f
         cons[2, i] = (f << 32) // q
-        fwd_all.append(fwd)
-        inv_all.append(inv)
-    return cons, np.stack(fwd_all), np.stack(inv_all)   # tw: [L, 2, logn, n]
+    return (cons,)   # twiddles come from _tw_dev (per-prime interned)
 
 
 def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
@@ -345,11 +411,12 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
         block_b -= 1
     if interpret is None:
         interpret = not _on_tpu()
-    cons, fwd, inv = _multi_consts(qs, n, fin)
-    tw = inv if inverse else fwd
+    cons = _multi_consts(qs, n, fin)[0]
+    tw = _tw_dev(qs, n, "inv" if inverse else "fwd")
     logn = n.bit_length() - 1
     kern = partial(_ntt_kernel_multi, n=n, inverse=inverse,
-                   final=inverse or fin is not None)
+                   final=inverse or fin is not None,
+                   lazy=all(p < (1 << 30) for p in qs))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, B // block_b),
@@ -365,7 +432,7 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
         out_shape=jax.ShapeDtypeStruct((L, B, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(_dev(cons), xb, _dev(tw))
+    )(_dev(cons), xb, tw)
     return out.reshape((L,) + batch + (n,)).astype(orig_dtype)
 
 
@@ -379,21 +446,35 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
 # arith/src/ntt.rs:44-110; the degree-2 tensor: bfv/src/lib.rs:59-85.)
 # ---------------------------------------------------------------------------
 
-def _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, *, n, bb):
+def _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, *, n, bb, lazy=False):
     """Shared degree-2 tensor body: 4 CT forwards (stacked), the 3 pointwise
     products, 3 GS inverses, and the fin (= n^-1·R·scale) epilogue.
     x: [4*bb, rows, LANES] (bb-major), coefficient domain, canonical mod q
-    (q/fin/fin_sh/nqinv traced scalars).  Returns [3*bb, rows, LANES]."""
+    (q/fin/fin_sh/nqinv traced scalars).  Returns [3*bb, rows, LANES].
+
+    lazy (q < 2^30 only): Harvey lazy butterflies — values ride in [0, 4q)
+    with one _norm2q per stage instead of three compare-selects; the mont
+    products take [0, 2q) operands exactly (4q^2 < q*2^32), and the fin
+    Shoup epilogue fully reduces."""
     rows = n // LANES
     logn = n.bit_length() - 1
+    q2 = q + q
     for s in range(logn):                      # CT forward, all 4 at once
         t = n >> (s + 1)
         tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            x = _fwd_stage_lazy(x, y, _first_half_mask(x.shape, t),
+                                tw, twp, q, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
         x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
+    if lazy:
+        x = _norm2q(x, q2)                     # [0, 2q) into the products
     xr = x.reshape(bb, 4, rows, LANES)
     x0, x1, y0, y1 = xr[:, 0], xr[:, 1], xr[:, 2], xr[:, 3]
     p1 = _addmod_dyn(_mont_mul_dyn(x0, y1, q, nqinv),
@@ -405,6 +486,12 @@ def _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, *, n, bb):
         t = 1 << s
         tw = tw_ref[0, 1, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[0, 1, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            x = _inv_stage_lazy(x, y, _first_half_mask(x.shape, t),
+                                tw, twp, q, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         diff = _submod_dyn(y, x, q)
@@ -414,7 +501,8 @@ def _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, *, n, bb):
                       jnp.full_like(x, 1) * fin_sh, q)
 
 
-def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb):
+def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb,
+                         lazy=False):
     # layouts put the operand axis SECOND-MINOR ([.., bb, 4, n]): Mosaic
     # requires tiled (last-two) block dims divisible by (8, 128) or full —
     # a full-size operand axis there leaves the batch block size bb free
@@ -424,12 +512,12 @@ def _tensor_kernel_multi(consts_ref, x_ref, tw_ref, o_ref, *, n, bb):
     nqinv = consts_ref[3, pl.program_id(0)]
     rows = n // LANES
     x = x_ref[...].reshape(4 * bb, rows, LANES)
-    x = _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, n=n, bb=bb)
+    x = _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, n=n, bb=bb, lazy=lazy)
     o_ref[...] = x.reshape(1, bb, 3, n)
 
 
 def _tensor4_kernel(consts_ref, x0_ref, x1_ref, y0_ref, y1_ref, tw_ref,
-                    o_ref, *, n, bb, src, him, snq, cfix):
+                    o_ref, *, n, bb, src, him, snq, cfix, lazy=False):
     """Tensor product from FOUR separate operand arrays (no host-side stack
     copy).  src=None: operands are this prime's own residue rows.
     src=(...): operand blocks carry ALL Ls source-basis rows and the kernel
@@ -475,22 +563,8 @@ def _tensor4_kernel(consts_ref, x0_ref, x1_ref, y0_ref, y1_ref, tw_ref,
             acc = term if acc is None else _addmod_dyn(acc, term, q)
         corr = _mont_mul_dyn(al, consts_ref[4 + Ls, j], q, nqinv)
         x = _submod_dyn(acc, corr, q).reshape(4 * bb, rows, LANES)
-    x = _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, n=n, bb=bb)
+    x = _tensor_tail(x, q, fin, fin_sh, nqinv, tw_ref, n=n, bb=bb, lazy=lazy)
     o_ref[...] = x.reshape(1, bb, 3, n)
-
-
-@lru_cache(maxsize=None)
-def _dual_tw(qs: tuple, n: int):
-    """Stacked fwd+inv twiddle tables: [L, 2(fwd/inv), 2(w/shoup), logn, n]."""
-    return np.stack([np.stack(_stage_tables(q, n)[:2]) for q in qs])
-
-
-@lru_cache(maxsize=None)
-def _dual_tw_var(qs: tuple, n: int, fwd: bool):
-    """_dual_tw, or its inverse plane only — cached so _dev interning sees
-    a stable object id per variant."""
-    tw = _dual_tw(qs, n)
-    return tw if fwd else np.ascontiguousarray(tw[:, 1:])
 
 
 @lru_cache(maxsize=None)
@@ -506,7 +580,7 @@ def _tensor_consts(qs: tuple, n: int, scale: tuple | None):
         cons[1, i] = f
         cons[2, i] = (f << 32) // q
         cons[3, i] = _mont32_consts(q)[0]
-    return cons, _dual_tw(qs, n)               # tw: [L, 2, 2, logn, n]
+    return cons                                # tw comes from _tw_dev
 
 
 def tensor_mul_u32(x4, qs: tuple, scale: tuple | None = None,
@@ -531,9 +605,11 @@ def tensor_mul_u32(x4, qs: tuple, scale: tuple | None = None,
         bb -= 1
     if interpret is None:
         interpret = not _on_tpu()
-    cons, tw = _tensor_consts(qs, n, scale)
+    cons = _tensor_consts(qs, n, scale)
+    tw = _tw_dev(qs, n, "both")
     logn = n.bit_length() - 1
-    kern = partial(_tensor_kernel_multi, n=n, bb=bb)
+    kern = partial(_tensor_kernel_multi, n=n, bb=bb,
+                   lazy=all(p < (1 << 30) for p in qs))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, B // bb),
@@ -550,7 +626,7 @@ def tensor_mul_u32(x4, qs: tuple, scale: tuple | None = None,
         out_shape=jax.ShapeDtypeStruct((L, B, 3, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(_dev(cons), xb, _dev(tw))
+    )(_dev(cons), xb, tw)
     return out.reshape((L,) + batch + (3, n))
 
 
@@ -608,7 +684,7 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
     if interpret is None:
         interpret = not _on_tpu()
     cons = _tensor4_consts(dst, n, scale, src)
-    tw = _dual_tw(dst, n)
+    tw = _tw_dev(dst, n, "both")
     logn = n.bit_length() - 1
     if src is None:
         him = snq = cfix = None
@@ -622,6 +698,7 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
         x_spec = pl.BlockSpec((rows_in, bb, 1, n),
                               lambda p, i, *_: (0 * p, i, 0 * p, 0 * p))
     kern = partial(_tensor4_kernel, n=n, bb=bb, src=src, him=him, snq=snq,
+                   lazy=all(p < (1 << 30) for p in dst + (src or ())),
                    cfix=cfix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -638,7 +715,7 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
         out_shape=jax.ShapeDtypeStruct((Ld, B, 3, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(_dev(cons), *ins, _dev(tw))
+    )(_dev(cons), *ins, tw)
     return out.reshape((Ld,) + batch + (3, n))
 
 
@@ -658,7 +735,7 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
 # ---------------------------------------------------------------------------
 
 def _tensor_eval_kernel(consts_ref, x0_ref, x1_ref, y0_ref, y1_ref, tw_ref,
-                        o_ref, *, n, bb):
+                        o_ref, *, n, bb, lazy=False):
     j = pl.program_id(0)
     q = consts_ref[0, j]
     fin = consts_ref[1, j]
@@ -675,10 +752,17 @@ def _tensor_eval_kernel(consts_ref, x0_ref, x1_ref, y0_ref, y1_ref, tw_ref,
     x = jnp.stack([_mont_mul_dyn(x0, y0, q, nqinv), p1,
                    _mont_mul_dyn(x1, y1, q, nqinv)],
                   axis=1).reshape(3 * bb, rows, LANES)
+    q2 = q + q
     for s in range(logn):                      # GS inverse, all 3 products
         t = 1 << s
         tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            x = _inv_stage_lazy(x, y, _first_half_mask(x.shape, t),
+                                tw, twp, q, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         diff = _submod_dyn(y, x, q)
@@ -712,9 +796,10 @@ def tensor_eval4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
     if interpret is None:
         interpret = not _on_tpu()
     cons = _tensor4_consts(dst, n, scale, None)
-    tw = _dual_tw(dst, n)[:, 1:]               # inverse plane only
+    tw = _tw_dev(dst, n, "invp")               # inverse plane only
     logn = n.bit_length() - 1
-    kern = partial(_tensor_eval_kernel, n=n, bb=bb)
+    kern = partial(_tensor_eval_kernel, n=n, bb=bb,
+                   lazy=all(p < (1 << 30) for p in dst))
     x_spec = pl.BlockSpec((1, bb, 1, n), lambda p, i, *_: (p, i, 0 * p, 0 * p))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -731,11 +816,11 @@ def tensor_eval4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
         out_shape=jax.ShapeDtypeStruct((Ld, B, 3, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(_dev(cons), *ins, _dev(tw))
+    )(_dev(cons), *ins, tw)
     return out.reshape((Ld,) + batch + (3, n))
 
 
-def _ext_ntt_kernel(consts_ref, x_ref, tw_ref, o_ref, *, n, bb, P, src,
+def _ext_ntt_kernel(consts_ref, x_ref, tw_ref, o_ref, *, n, bb, P, src, lazy,
                     him, snq, cfix):
     """Extend P coeff-domain polys (all Ls src rows resident) to dst prime j
     (unsigned HPS) and forward-transform them — one pass."""
@@ -766,14 +851,23 @@ def _ext_ntt_kernel(consts_ref, x_ref, tw_ref, o_ref, *, n, bb, P, src,
         acc = term if acc is None else _addmod_dyn(acc, term, q)
     corr = _mont_mul_dyn(al, consts_ref[4 + Ls, j], q, nqinv)
     x = _submod_dyn(acc, corr, q)              # [bb*P, rows, LANES]
+    q2 = q + q
     for s in range(logn):                      # CT forward
         t = n >> (s + 1)
         tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            x = _fwd_stage_lazy(x, y, _first_half_mask(x.shape, t),
+                                tw, twp, q, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
         x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
+    if lazy:
+        x = _norm2q(_norm2q(x, q2), q)         # canonical eval residues out
     o_ref[...] = x.reshape(1, bb, P, n)
 
 
@@ -800,10 +894,11 @@ def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None,
                      -1, s) << 32) % s for s in src)
     snq = tuple(_mont32_consts(s)[0] for s in src)
     cfix = tuple((1 << 59) // s for s in src)
-    tw = _dual_tw(dst, n)[:, :1]               # forward plane only
+    tw = _tw_dev(dst, n, "fwdp")               # forward plane only
     logn = n.bit_length() - 1
     kern = partial(_ext_ntt_kernel, n=n, bb=bb, P=P, src=src, him=him,
-                   snq=snq, cfix=cfix)
+                   snq=snq, cfix=cfix,
+                   lazy=all(p < (1 << 30) for p in dst))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Ld, B // bb),
@@ -821,7 +916,7 @@ def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None,
         out_shape=jax.ShapeDtypeStruct((Ld, B, P, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(_dev(cons), xb, _dev(tw))
+    )(_dev(cons), xb, tw)
     return out.reshape((Ld,) + batch + (P, n))
 
 
@@ -840,7 +935,7 @@ def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None,
 # ---------------------------------------------------------------------------
 
 def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, *refs,
-                     n, R, bb, fwd, reps, with_add):
+                     n, R, bb, fwd, reps, with_add, lazy=False):
     if with_add:
         a0_ref, a1_ref, o_ref = refs
     else:
@@ -852,6 +947,7 @@ def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, *refs,
     rows = n // LANES
     logn = n.bit_length() - 1
     x = x_ref[...].reshape(bb * R, rows, LANES)
+    q2 = q + q
     if fwd:
         for _ in range(reps):                  # limb residue -> mod q_j
             x = jnp.where(x >= q, x - q, x)
@@ -859,10 +955,18 @@ def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, *refs,
             t = n >> (s + 1)
             tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
             twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+            if lazy:
+                x = _norm2q(x, q2)
+                y = _swap_xor_t(x, t, rows)
+                x = _fwd_stage_lazy(x, y, _first_half_mask(x.shape, t),
+                                    tw, twp, q, q2)
+                continue
             y = _swap_xor_t(x, t, rows)
             first = _first_half_mask(x.shape, t)
             p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
             x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
+        if lazy:
+            x = _norm2q(x, q2)     # [0, 2q): mont products stay 1-correction
     inv_pl = 1 if fwd else 0                   # hoisted passes inv table only
     xr = x.reshape(bb, R, rows, LANES)
     kb = jnp.broadcast_to(kb_ref[...].reshape(1, R, rows, LANES), xr.shape)
@@ -878,6 +982,12 @@ def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, *refs,
         t = 1 << s
         tw = tw_ref[0, inv_pl, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[0, inv_pl, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            x = _inv_stage_lazy(x, y, _first_half_mask(x.shape, t),
+                                tw, twp, q, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         diff = _submod_dyn(y, x, q)
@@ -929,11 +1039,12 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret, adds=None):
     if interpret is None:
         interpret = not _on_tpu()
     cons = _ks_consts(primes, n, fwd)
-    tw = _dual_tw_var(primes, n, fwd)
-    ntw = tw.shape[1]
+    tw = _tw_dev(primes, n, "both" if fwd else "invp")
+    ntw = 2 if fwd else 1
     logn = n.bit_length() - 1
     kern = partial(_ks_kernel_multi, n=n, R=R, bb=bb, fwd=fwd, reps=reps,
-                   with_add=adds is not None)
+                   with_add=adds is not None,
+                   lazy=all(p < (1 << 30) for p in primes))
     if fwd:
         x_spec = pl.BlockSpec((bb, R, n), lambda p, i, *_: (i, 0 * p, 0 * p))
     else:
@@ -946,7 +1057,7 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret, adds=None):
         pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
         pl.BlockSpec((1, R, n), lambda p, i, *_: (p, 0 * p, 0 * p)),
     ]
-    args = [_dev(cons), xb, _dev(tw),
+    args = [_dev(cons), xb, tw,
             kbT.astype(jnp.uint32), kaT.astype(jnp.uint32)]
     if adds is not None:
         # [Lp, B, 1, n] each; dummy second-minor axis keeps the constrained
@@ -994,7 +1105,7 @@ def ks_fused_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
 
 
 def _ks_eval_kernel(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, a_ref, o_ref,
-                    *, n, R, bb, reps):
+                    *, n, R, bb, reps, lazy=False):
     """Relinearization step for EVAL-RESIDENT ciphertexts: digit reduction,
     forward NTT of the R digit rows AND the two add operands (c0, c1), key
     contraction, eval-domain adds, and the 2 inverse chains — emits the
@@ -1012,16 +1123,27 @@ def _ks_eval_kernel(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, a_ref, o_ref,
         x = jnp.where(x >= q, x - q, x)
     a = a_ref[...].reshape(bb * 2, rows, LANES)
     x = jnp.concatenate([x, a], 0)             # digits + adds, one fwd pass
+    q2 = q + q
     for s in range(logn):
         t = n >> (s + 1)
         tw = tw_ref[0, 0, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[0, 0, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            x = _fwd_stage_lazy(x, y, _first_half_mask(x.shape, t),
+                                tw, twp, q, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         p = _shoup_mul(jnp.where(first, y, x), tw, twp, q)
         x = jnp.where(first, _addmod_dyn(x, p, q), _submod_dyn(y, p, q))
+    if lazy:
+        x = _norm2q(x, q2)         # [0, 2q): mont operands one-correction
     xr = x[: bb * R].reshape(bb, R, rows, LANES)
     ea = x[bb * R:].reshape(bb, 2, rows, LANES)
+    if lazy:                       # eval-domain adds must be canonical
+        ea = jnp.where(ea >= q, ea - q, ea)
     kb = jnp.broadcast_to(kb_ref[...].reshape(1, R, rows, LANES), xr.shape)
     ka = jnp.broadcast_to(ka_ref[...].reshape(1, R, rows, LANES), xr.shape)
     pb = _mont_mul_dyn(xr, kb, q, nqinv)
@@ -1042,6 +1164,12 @@ def _ks_eval_kernel(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, a_ref, o_ref,
         t = 1 << s
         tw = tw_ref[0, 1, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[0, 1, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            x = _inv_stage_lazy(x, y, _first_half_mask(x.shape, t),
+                                tw, twp, q, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         diff = _submod_dyn(y, x, q)
@@ -1096,9 +1224,10 @@ def ks_fused_eval_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
     if interpret is None:
         interpret = not _on_tpu()
     cons = _ks_eval_consts(primes, n)
-    tw = _dual_tw(primes, n)
+    tw = _tw_dev(primes, n, "both")
     logn = n.bit_length() - 1
-    kern = partial(_ks_eval_kernel, n=n, R=R, bb=bb, reps=reps)
+    kern = partial(_ks_eval_kernel, n=n, R=R, bb=bb, reps=reps,
+                   lazy=all(p < (1 << 30) for p in primes))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Lp, B // bb),
@@ -1118,7 +1247,7 @@ def ks_fused_eval_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
         out_shape=jax.ShapeDtypeStruct((Lp, B, 4, n), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(_dev(cons), xb, _dev(tw),
+    )(_dev(cons), xb, tw,
       jnp.moveaxis(kb, 0, 1).astype(jnp.uint32),
       jnp.moveaxis(ka, 0, 1).astype(jnp.uint32), av)
     r = out.reshape((Lp,) + batch + (4, n))
