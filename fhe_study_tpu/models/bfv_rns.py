@@ -406,19 +406,13 @@ def relinearize(param: RnsParam, rlk: RLK, c0, c1, c2) -> CT:
     chain in u32 skips a full-array widening pass per multiply."""
     qs = param.qs
     L = param.L
-    # digits are c2's own limb residues reduced mod each prime — the whole
-    # digit grid + forward NTTs + key contraction + inverse NTTs + the
-    # final (c0+acc0, c1+acc1) adds run as one fused kernel
-    # (ops/ntt.ks_fused_multi); L is a static sanity pin
+    # digits are c2's own limb residues reduced mod each prime — digit
+    # grid + forward NTTs + key contraction + inverse NTTs run as one
+    # fused kernel (ops/ntt.ks_fused_multi); the final (c0+acc0, c1+acc1)
+    # adds stay OUTSIDE the kernel: the in-kernel add-epilogue variant
+    # measured ~100x slower end-to-end on v5e and was deleted this round
+    # (BENCH.md "relin add-epilogue post-mortem"); L is a static sanity pin
     assert c2.shape[0] == L
-    import os
-    if os.environ.get("FHE_RELIN_FUSED_ADDS"):
-        # the in-kernel add epilogue measured ~100x SLOWER end-to-end on
-        # the v5e (33 vs 4239 ct-mul/s, cause not yet isolated — see
-        # scripts/bench_ks_adds.py); keep it opt-in until understood
-        r0, r1 = ntt.ks_fused_multi(c2, rlk.b, rlk.a, qs, qs,
-                                    adds=(c0, c1))
-        return CT(r0, r1)
     acc0, acc1 = ntt.ks_fused_multi(c2, rlk.b, rlk.a, qs, qs)
     qv = _qvec(qs, acc0.ndim)
     r0 = _addmod_v(c0.astype(U64), acc0.astype(U64), qv)

@@ -520,8 +520,7 @@ def ks_contract_multi(edm, kb, ka, primes: tuple):
     return intt_multi(acc0, primes), intt_multi(acc1, primes)
 
 
-def ks_fused_multi(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
-                   adds=None):
+def ks_fused_multi(c_limbs, kb, ka, primes: tuple, src_primes: tuple):
     """FULLY fused gadget key switch: per-prime digit reduction, forward
     NTT of the R digit rows, key contraction, and the 2 inverse NTTs.
 
@@ -530,15 +529,14 @@ def ks_fused_multi(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
     R limb arrays are read once and 2*Lp outputs written — no digit grid,
     NTT round trip, or product tensor ever hits HBM.
 
-    adds=(c0, c1) ([Lp, ..., n] canonical residues): returns
-    (c0 + r0, c1 + r1) — relinearization's final adds in the epilogue."""
+    (No add-epilogue variant: it measured ~100x slower on v5e — see
+    BENCH.md post-mortem.)"""
     n = c_limbs.shape[-1]
     R = c_limbs.shape[0]
     Lp = len(primes)
     if n > 1 and all(_pallas_ok(p, n) for p in primes) and kb.ndim == 3:
         from . import ntt_pallas
-        return ntt_pallas.ks_fused_u32(c_limbs, kb, ka, primes, src_primes,
-                                       adds=adds)
+        return ntt_pallas.ks_fused_u32(c_limbs, kb, ka, primes, src_primes)
     # fallback: materialized digit grid (still one batched transform)
     reps = (max(src_primes) - 1) // min(primes) + 1
     prow = jnp.asarray(np.array(primes, np.uint32)).reshape(
@@ -549,12 +547,7 @@ def ks_fused_multi(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
         d = jnp.where(d >= prow, d - prow, d)
     edm = jnp.moveaxis(ntt_multi(jnp.moveaxis(d, 1, 0), primes,
                                  mont=True), 0, 1)
-    r0, r1 = ks_contract_multi(edm, kb, ka, primes)
-    if adds is None:
-        return r0, r1
-    qv = _qvec(primes, r0.ndim)
-    return (_addmod_v(adds[0].astype(jnp.uint64), r0.astype(jnp.uint64), qv),
-            _addmod_v(adds[1].astype(jnp.uint64), r1.astype(jnp.uint64), qv))
+    return ks_contract_multi(edm, kb, ka, primes)
 
 
 # ---------------------------------------------------------------------------

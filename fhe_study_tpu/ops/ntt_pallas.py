@@ -934,12 +934,8 @@ def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None,
 #                  eval-domain digits shared across rotations, 2018/244 §5).
 # ---------------------------------------------------------------------------
 
-def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, *refs,
-                     n, R, bb, fwd, reps, with_add, lazy=False):
-    if with_add:
-        a0_ref, a1_ref, o_ref = refs
-    else:
-        (o_ref,) = refs
+def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, o_ref,
+                     *, n, R, bb, fwd, reps, lazy=False):
     q = consts_ref[0, pl.program_id(0)]
     fin = consts_ref[1, pl.program_id(0)]
     fin_sh = consts_ref[2, pl.program_id(0)]
@@ -995,15 +991,6 @@ def _ks_kernel_multi(consts_ref, x_ref, tw_ref, kb_ref, ka_ref, *refs,
                       _shoup_mul(diff, tw, twp, q))
     x = _shoup_mul(x, jnp.full_like(x, 1) * fin,
                    jnp.full_like(x, 1) * fin_sh, q)
-    if with_add:
-        # finished-ciphertext epilogue: out = (c0 + acc0, c1 + acc1) — the
-        # final adds of relinearization (bfv/src/lib.rs:251-271) in-kernel
-        xr2 = x.reshape(bb, 2, rows, LANES)
-        a0 = a0_ref[...].reshape(bb, rows, LANES)
-        a1 = a1_ref[...].reshape(bb, rows, LANES)
-        o0 = _addmod_dyn(xr2[:, 0], a0, q)
-        o1 = _addmod_dyn(xr2[:, 1], a1, q)
-        x = jnp.stack([o0, o1], axis=1).reshape(bb * 2, rows, LANES)
     o_ref[...] = x.reshape(1, bb, 2, n)
 
 
@@ -1022,10 +1009,11 @@ def _ks_consts(qs: tuple, n: int, fwd: bool):
     return cons
 
 
-def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret, adds=None):
+def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret):
     """Shared pallas_call plumbing.  xb: [B, R, n] (fwd) or [Lp, B, R, n]
-    (hoisted); kbT/kaT: [Lp, R, n]; adds: optional ([Lp, B, 1, n],) x 2
-    final-add operands.  Returns [Lp, B, 2, n] u32."""
+    (hoisted); kbT/kaT: [Lp, R, n].  Returns [Lp, B, 2, n] u32.
+    (The in-kernel add-epilogue variant measured ~100x slower end-to-end
+    on v5e and was deleted — BENCH.md post-mortem.)"""
     R = xb.shape[-2]
     n = xb.shape[-1]
     Lp = len(primes)
@@ -1043,7 +1031,6 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret, adds=None):
     ntw = 2 if fwd else 1
     logn = n.bit_length() - 1
     kern = partial(_ks_kernel_multi, n=n, R=R, bb=bb, fwd=fwd, reps=reps,
-                   with_add=adds is not None,
                    lazy=all(p < (1 << 30) for p in primes))
     if fwd:
         x_spec = pl.BlockSpec((bb, R, n), lambda p, i, *_: (i, 0 * p, 0 * p))
@@ -1059,13 +1046,6 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret, adds=None):
     ]
     args = [_dev(cons), xb, tw,
             kbT.astype(jnp.uint32), kaT.astype(jnp.uint32)]
-    if adds is not None:
-        # [Lp, B, 1, n] each; dummy second-minor axis keeps the constrained
-        # last-two block dims full-size
-        a_spec = pl.BlockSpec((1, bb, 1, n),
-                              lambda p, i, *_: (p, i, 0 * p, 0 * p))
-        in_specs += [a_spec, a_spec]
-        args += [adds[0].astype(jnp.uint32), adds[1].astype(jnp.uint32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Lp, B // bb),
@@ -1082,13 +1062,12 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret, adds=None):
 
 
 def ks_fused_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
-                 adds=None, interpret: bool | None = None):
+                 interpret: bool | None = None):
     """c_limbs: [R, ..., n] limb residues (row i < src_primes[i]); kb/ka:
     [R, Lp, n] eval-domain gadget keys mod primes[j].  Returns
     (r0, r1), each [Lp, ..., n] coeff-domain: r = sum_i [c_i]_{p_j} * k_ij.
 
-    adds=(c0, c1) ([Lp, ..., n] canonical residues): the kernel epilogue
-    returns (c0 + r0, c1 + r1) — relinearization's final adds in-pass."""
+    """
     R = c_limbs.shape[0]
     n = c_limbs.shape[-1]
     Lp = len(primes)
@@ -1096,10 +1075,8 @@ def ks_fused_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
     batch = c_limbs.shape[1:-1]
     xb = jnp.moveaxis(c_limbs.reshape((R, -1, n)), 0, 1).astype(jnp.uint32)
     reps = (max(src_primes) - 1) // min(primes) + 1
-    if adds is not None:
-        adds = tuple(a.reshape((Lp, -1, 1, n)) for a in adds)
     out = _ks_call(xb, jnp.moveaxis(kb, 0, 1), jnp.moveaxis(ka, 0, 1),
-                   primes, True, reps, interpret, adds=adds)
+                   primes, True, reps, interpret)
     r = out.reshape((Lp,) + batch + (2, n))
     return r[..., 0, :], r[..., 1, :]
 
