@@ -126,8 +126,10 @@ def bench_tfhe():
     t = int(os.environ.get("FHE_BENCH_T", 8))
     B = int(os.environ.get("FHE_BENCH_B", 64))   # fused chain amortizes
     iters = int(os.environ.get("FHE_BENCH_ITERS", 1))
-    beta = int(os.environ.get("FHE_BENCH_BETA", 256))
-    l = int(os.environ.get("FHE_BENCH_LBR", 3))
+    # 2^12 x 2 decomposition: 4 digit rows instead of 6 per CMux step —
+    # measured +17%/+14% (short/full chain) with clean decrypts at t=8
+    beta = int(os.environ.get("FHE_BENCH_BETA", 4096))
+    l = int(os.environ.get("FHE_BENCH_LBR", 2))
     beta_ks, l_ks = 16, 8
 
     param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
@@ -197,8 +199,10 @@ def bench_tfhe_prod():
     t = int(os.environ.get("FHE_BENCH_T", 8))
     B = int(os.environ.get("FHE_BENCH_B", 64))
     iters = int(os.environ.get("FHE_BENCH_ITERS", 1))
-    beta = int(os.environ.get("FHE_BENCH_BETA", 256))
-    l = int(os.environ.get("FHE_BENCH_LBR", 3))
+    # 2^12 x 2 decomposition: 4 digit rows instead of 6 per CMux step —
+    # measured +17%/+14% (short/full chain) with clean decrypts at t=8
+    beta = int(os.environ.get("FHE_BENCH_BETA", 4096))
+    l = int(os.environ.get("FHE_BENCH_LBR", 2))
     beta_ks, l_ks = 16, 8
 
     param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)

@@ -590,7 +590,9 @@ def _hybrid_rlk1_impl(key, param: RnsParam, s_evals, K: int = 2) -> HRLK:
                      ).reshape(bv.shape)            # == 0 on the K primes
     b = _submod_v(_addmod_v(mulmod_v(s2, pg, bv, mv), ee, bv),
                   mulmod_v(ea, se, bv, mv), bv)
-    return HRLK(b=b, a=ea)
+    # u32 storage (residues < 2^31; consumers compute in u32 — see
+    # hybrid_ks._hybrid_ksk_impl)
+    return HRLK(b=b.astype(jnp.uint32), a=ea.astype(jnp.uint32))
 
 
 def relinearize_hybrid(param: RnsParam, hk: HRLK, c0, c1, c2):

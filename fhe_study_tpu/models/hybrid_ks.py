@@ -108,7 +108,10 @@ def _hybrid_ksk_impl(key, param, s_old_evals, s_new_evals,
     sg = mulmod_v(se_old[None], gv, bv[None], mv[None])
     ee = jnp.moveaxis(ntt_multi(jnp.moveaxis(e, 1, 0), both), 0, 1)
     b = _submod_v(_addmod_v(sg, ee, bv[None]), as_, bv[None])
-    return HybridKSK(b=b, a=ea)
+    # u32 storage: residues < 2^31 and every consumer (Pallas kernels, the
+    # modops32 fallbacks) computes in u32 — HALVES the rotation-key-set HBM
+    # footprint, the binding constraint on the CKKS-bootstrap ring size
+    return HybridKSK(b=b.astype(jnp.uint32), a=ea.astype(jnp.uint32))
 
 
 def _div_by_P_round(param, acc, ps: tuple):

@@ -33,6 +33,15 @@ from . import ntt as ntt_mod
 LANES = 128
 U32 = jnp.uint32
 
+# Harvey lazy butterflies (see _fwd_stage_lazy): ON by default for q < 2^30;
+# FHE_LAZY_NTT=0 restores the strict per-op reductions (A/B lever)
+import os as _os
+_LAZY = _os.environ.get("FHE_LAZY_NTT", "1") != "0"
+
+
+def _lazy_ok(qs) -> bool:
+    return _LAZY and all(p < (1 << 30) for p in qs)
+
 
 # ---------------------------------------------------------------------------
 # host-side tables
@@ -416,7 +425,7 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
     logn = n.bit_length() - 1
     kern = partial(_ntt_kernel_multi, n=n, inverse=inverse,
                    final=inverse or fin is not None,
-                   lazy=all(p < (1 << 30) for p in qs))
+                   lazy=_lazy_ok(qs))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, B // block_b),
@@ -609,7 +618,7 @@ def tensor_mul_u32(x4, qs: tuple, scale: tuple | None = None,
     tw = _tw_dev(qs, n, "both")
     logn = n.bit_length() - 1
     kern = partial(_tensor_kernel_multi, n=n, bb=bb,
-                   lazy=all(p < (1 << 30) for p in qs))
+                   lazy=_lazy_ok(qs))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L, B // bb),
@@ -698,7 +707,7 @@ def tensor_mul4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
         x_spec = pl.BlockSpec((rows_in, bb, 1, n),
                               lambda p, i, *_: (0 * p, i, 0 * p, 0 * p))
     kern = partial(_tensor4_kernel, n=n, bb=bb, src=src, him=him, snq=snq,
-                   lazy=all(p < (1 << 30) for p in dst + (src or ())),
+                   lazy=_lazy_ok(dst + (src or ())),
                    cfix=cfix)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -799,7 +808,7 @@ def tensor_eval4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
     tw = _tw_dev(dst, n, "invp")               # inverse plane only
     logn = n.bit_length() - 1
     kern = partial(_tensor_eval_kernel, n=n, bb=bb,
-                   lazy=all(p < (1 << 30) for p in dst))
+                   lazy=_lazy_ok(dst))
     x_spec = pl.BlockSpec((1, bb, 1, n), lambda p, i, *_: (p, i, 0 * p, 0 * p))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -898,7 +907,7 @@ def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None,
     logn = n.bit_length() - 1
     kern = partial(_ext_ntt_kernel, n=n, bb=bb, P=P, src=src, him=him,
                    snq=snq, cfix=cfix,
-                   lazy=all(p < (1 << 30) for p in dst))
+                   lazy=_lazy_ok(dst))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Ld, B // bb),
@@ -1031,7 +1040,7 @@ def _ks_call(xb, kbT, kaT, primes, fwd, reps, interpret):
     ntw = 2 if fwd else 1
     logn = n.bit_length() - 1
     kern = partial(_ks_kernel_multi, n=n, R=R, bb=bb, fwd=fwd, reps=reps,
-                   lazy=all(p < (1 << 30) for p in primes))
+                   lazy=_lazy_ok(primes))
     if fwd:
         x_spec = pl.BlockSpec((bb, R, n), lambda p, i, *_: (i, 0 * p, 0 * p))
     else:
@@ -1204,7 +1213,7 @@ def ks_fused_eval_u32(c_limbs, kb, ka, primes: tuple, src_primes: tuple,
     tw = _tw_dev(primes, n, "both")
     logn = n.bit_length() - 1
     kern = partial(_ks_eval_kernel, n=n, R=R, bb=bb, reps=reps,
-                   lazy=all(p < (1 << 30) for p in primes))
+                   lazy=_lazy_ok(primes))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Lp, B // bb),

@@ -176,35 +176,3 @@ def test_pallas_tensor_mul4_and_ext_variant():
     got_s = np.asarray(ntt_pallas.tensor_mul4_u32(*ops4, ps, scale=sc,
                                                   src=qs, interpret=True))
     np.testing.assert_array_equal(got_s, want_s)
-
-
-def test_pallas_ks_fused_add_epilogue():
-    """ks_fused adds=(c0,c1) epilogue == contraction followed by addmod."""
-    from fhe_study_tpu.ops.primes import ntt_primes
-    qs = ntt_primes(3, 30, 1 << 12)
-    n, B, R = 256, 2, 3
-    rng = np.random.default_rng(23)
-    c = jnp.asarray(np.stack(
-        [rng.integers(0, q, (B, n)) for q in qs]).astype(np.uint64))
-    kb = jnp.asarray(np.stack(
-        [np.stack([rng.integers(0, p, n) for p in qs])
-         for _ in range(R)]).astype(np.uint64))
-    ka = jnp.asarray(np.stack(
-        [np.stack([rng.integers(0, p, n) for p in qs])
-         for _ in range(R)]).astype(np.uint64))
-    a0 = jnp.asarray(np.stack(
-        [rng.integers(0, q, (B, n)) for q in qs]).astype(np.uint64))
-    a1 = jnp.asarray(np.stack(
-        [rng.integers(0, q, (B, n)) for q in qs]).astype(np.uint64))
-    r0, r1 = ntt.ks_fused_multi(c, kb, ka, qs, qs)
-    qcol = np.array(qs, np.uint64).reshape(3, 1, 1)
-    want0 = (np.asarray(r0) + np.asarray(a0)) % qcol
-    want1 = (np.asarray(r1) + np.asarray(a1)) % qcol
-    g0, g1 = ntt_pallas.ks_fused_u32(c, kb, ka, qs, qs, adds=(a0, a1),
-                                     interpret=True)
-    np.testing.assert_array_equal(np.asarray(g0), want0.astype(np.uint32))
-    np.testing.assert_array_equal(np.asarray(g1), want1.astype(np.uint32))
-    # dispatcher fallback with adds agrees
-    f0, f1 = ntt.ks_fused_multi(c, kb, ka, qs, qs, adds=(a0, a1))
-    np.testing.assert_array_equal(np.asarray(f0).astype(np.uint64), want0)
-    np.testing.assert_array_equal(np.asarray(f1).astype(np.uint64), want1)
