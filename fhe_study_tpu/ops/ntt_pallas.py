@@ -414,9 +414,16 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
     orig_dtype = x.dtype
     batch = x.shape[1:-1]
     xb = x.reshape((L, -1, n)).astype(jnp.uint32)
-    B = xb.shape[1]
+    B0 = xb.shape[1]
+    # Mosaic: the SECOND-MINOR block dim must be 8-divisible or the full
+    # axis — pad the flattened batch to a multiple of 8 (zero rows
+    # transform to zero; sliced off below) so a valid block always exists
+    pad = (-B0) % 8 if B0 > 1 else 0
+    if pad:
+        xb = jnp.pad(xb, ((0, 0), (0, pad), (0, 0)))
+    B = B0 + pad
     block_b = max(1, min(B, (1 << 20) // (n * 4)))
-    while B % block_b:
+    while B % block_b or (block_b % 8 and block_b != B):
         block_b -= 1
     if interpret is None:
         interpret = not _on_tpu()
@@ -442,6 +449,8 @@ def ntt_multi_u32(x, qs: tuple, inverse: bool = False,
         grid_spec=grid_spec,
         interpret=interpret,
     )(_dev(cons), xb, tw)
+    if pad:
+        out = out[:, :B0]
     return out.reshape((L,) + batch + (n,)).astype(orig_dtype)
 
 
@@ -1273,14 +1282,20 @@ def ntt_u32(x, q: int, inverse: bool = False, block_b: int | None = None,
     orig_dtype = x.dtype
     batch = x.shape[:-1]
     xb = x.reshape((-1, n)).astype(jnp.uint32)
-    B = xb.shape[0]
+    B0 = xb.shape[0]
+    pad = (-B0) % 8 if B0 > 1 else 0   # see ntt_multi_u32: 8-divisible blocks
+    if pad:
+        xb = jnp.pad(xb, ((0, pad), (0, 0)))
+    B = B0 + pad
     if block_b is None:
         # ~1MB data tile: the fused stage chain holds several temporaries per
         # stage in scoped VMEM; bigger tiles OOM Mosaic's vmem stack
         block_b = max(1, min(B, (1 << 20) // (n * 4)))
-    while B % block_b:
+    while B % block_b or (block_b % 8 and block_b != B):
         block_b -= 1
     if interpret is None:
         interpret = not _on_tpu()
     out = _build_call(q, n, inverse, block_b, interpret)(xb)
+    if pad:
+        out = out[:B0]
     return out.reshape(batch + (n,)).astype(orig_dtype)
