@@ -206,6 +206,8 @@ def decode(param: Param, coeffs_f64):
 # -- hybrid (P-extended) multiply: the low-noise production path ------------
 
 def hybrid_rlk(key, param: Param, sk: SecretKey, K: int = 2):
+    import os
+    K = int(os.environ.get("FHE_HYBRID_K", K))
     """P-extended relinearization key: encrypts P*g_i*s^2 under s.  Noise
     after the switch is ~1 unit (vs ~2^36 for the plain RNS gadget at
     30-bit primes) — required for chained multiplications at delta ~ 2^30."""

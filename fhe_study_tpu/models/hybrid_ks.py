@@ -141,6 +141,8 @@ def hoist_digits(param, c1, K: int = 2):
     and acts on the eval domain as a pure permutation (galois.eval_perm) —
     so ONE decomposition+NTT serves every rotation of the same ciphertext
     (the "hoisting" trick, eprint 2018/244 §5)."""
+    import os
+    K = int(os.environ.get("FHE_HYBRID_K", K))
     qs = param.qs
     L = param.L
     ps = ks_ext_primes(param, K)
@@ -211,7 +213,10 @@ def _galois_key_jit(param, K: int):
 
 
 def galois_key_hybrid(key, param, sk, g: int, K: int = 2) -> HybridKSK:
-    """Hybrid Galois key: phi_g(s) -> s with P-suppressed noise."""
+    """Hybrid Galois key: phi_g(s) -> s with P-suppressed noise.
+    FHE_HYBRID_K overrides K globally (noise-vs-cost experiments)."""
+    import os
+    K = int(os.environ.get("FHE_HYBRID_K", K))
     from . import galois
     src, neg = galois.galois_map(param.n, g)
     return _galois_key_jit(param, K)(
