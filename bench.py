@@ -413,10 +413,29 @@ def bench_ckks_boot():
                        batch=(B,))
         ct1, _ = P.level_drop(param, ct, base)
         # production key path: complete sk-free key set via eval_shape
-        # discovery (zero ciphertext compute)
-        arrays, static, pout = BB.precompute_keys(
-            ks[2], param, sk, delta0, batch=(B,), K=K, r=r, deg=deg,
-            delta_w=delta_w, arcsin_terms=arcsin_terms, base_limbs=base)
+        # discovery (zero ciphertext compute).  The build costs ~8 CPU
+        # minutes at n=2^11/L=39 — DISK-CACHED per config (deterministic:
+        # fixed PRNG key) so the scorecard run pays it once per round.
+        import hashlib
+        import pickle
+        cfg = (n, B, L, K, r, deg, float(delta0), float(delta_w),
+               arcsin_terms, base, h, 3)        # trailing int: cache rev
+        tag = hashlib.sha1(repr(cfg).encode()).hexdigest()[:16]
+        cache_f = f"/root/repo/_build/bootkeys_{tag}.pkl"
+        if os.path.exists(cache_f):
+            with open(cache_f, "rb") as fh:
+                arrays, static, pout = pickle.load(fh)
+            arrays = jax.tree.map(jnp.asarray, arrays)
+        else:
+            arrays, static, pout = BB.precompute_keys(
+                ks[2], param, sk, delta0, batch=(B,), K=K, r=r, deg=deg,
+                delta_w=delta_w, arcsin_terms=arcsin_terms, base_limbs=base)
+            try:
+                with open(cache_f, "wb") as fh:
+                    pickle.dump((jax.tree.map(np.asarray, arrays), static,
+                                 pout), fh, protocol=4)
+            except OSError:
+                pass                          # disk-full etc: cache optional
     dev = jax.devices()[0]
     arrays, ct1 = jax.tree.map(lambda x: jax.device_put(x, dev),
                                (arrays, ct1))
@@ -643,8 +662,8 @@ def main():
     # must finish, with every config either measured, errored, or SKIPPED.
     total = int(os.environ.get("FHE_BENCH_TOTAL_BUDGET", 1500))
     # per-mode ceilings (compile-heavy modes need more; measured r02/r03)
-    cap = {"ntt": 180, "bfv": 420, "bfv_linear": 120, "ckks": 180,
-           "tfhe": 180, "tfhe_prod": 180, "ckks_boot": 600}
+    cap = {"ntt": 240, "bfv": 420, "bfv_linear": 300, "ckks": 300,
+           "tfhe": 300, "tfhe_prod": 300, "ckks_boot": 900}
     t_start = time.monotonic()
     headline = None
 
