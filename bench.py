@@ -660,7 +660,11 @@ def main():
     # global wall-clock budget, split across modes: round 2's scorecard was
     # lost to a driver-side `timeout` kill (BENCH_r02.json rc=124) — the run
     # must finish, with every config either measured, errored, or SKIPPED.
-    total = int(os.environ.get("FHE_BENCH_TOTAL_BUDGET", 1500))
+    # warm-cache timings (r3): ntt+bfv+linear+ckks+2xtfhe ~ 17 min, the
+    # bootstrap ~11 min (3.4 GB key-cache load + relay upload dominate) —
+    # 2200 s fits everything; a driver kill mid-run still leaves the
+    # headline as the last complete line (it re-emits after every mode)
+    total = int(os.environ.get("FHE_BENCH_TOTAL_BUDGET", 2200))
     # per-mode ceilings (compile-heavy modes need more; measured r02/r03)
     cap = {"ntt": 240, "bfv": 420, "bfv_linear": 300, "ckks": 300,
            "tfhe": 300, "tfhe_prod": 300, "ckks_boot": 900}
