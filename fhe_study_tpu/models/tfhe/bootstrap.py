@@ -127,7 +127,7 @@ def blind_rotation(param: Param, btk: BootstrappingKey, table: GLWE, c: TLWE,
     acc0 = tglwe_mod.left_rotate(param, table, c2.b + U64(half))
 
     a_T = jnp.moveaxis(c2.a, -1, 0)                        # [kn, ...batch]
-    use_fast = fast and (param.k + 1) * l * n * beta < (1 << 28)
+    use_fast = fast and (param.k + 1) * l * n * beta < (1 << 26)
     if fused is None or fused:
         from ...ops import blind_rotate_pallas as brp
         from ...ops.ntt_pallas import _on_tpu

@@ -145,7 +145,7 @@ def precompute_evals(param: Param, g: TGGSW) -> TGGSWEvals:
     """Transform a TGGSW (any leading batch dims) into NTT-domain 32-bit
     limbs under both CRT primes + Shoup planes (one-time u64 math)."""
     from ...ops import ntt as ntt_mod
-    p1, p2 = ntt_mod.CRT_PRIMES[:2]
+    p1, p2 = ntt_mod.CRT_PRIMES_TFHE
     ab = jnp.concatenate([g.a, g.b[..., None, :]], axis=-2)  # [..., K+1r, l, K+1c, N]
     lo = ab & U64(0xFFFFFFFF)
     hi = ab >> U64(32)
@@ -170,13 +170,14 @@ def external_product_evals(param: Param, gev: TGGSWEvals, c: GLWE,
     from ...ops import ntt as ntt_mod
     from ...ops import modops32
     from ...ops.ntt import ntt_multi, intt_multi
-    pq = ntt_mod.CRT_PRIMES[:2]
+    pq = ntt_mod.CRT_PRIMES_TFHE
     p1, p2 = pq
     m12 = p1 * p2
     p1_inv_p2 = pow(p1, -1, p2)
     k, n = param.k, param.ring.n
-    # conv bound: (K+1)·l·n·beta·2^32 must stay under p1·p2/2
-    assert (k + 1) * l * n * beta < (1 << 28), "CRT capacity exceeded"
+    # conv bound: (K+1)·l·n·beta·2^32 must stay under p1·p2/2 ≈ 2^58.4
+    # (sub-2^30 lazy-gate primes — see ntt.CRT_PRIMES_TFHE)
+    assert (k + 1) * l * n * beta < (1 << 26), "CRT capacity exceeded"
     ab = jnp.concatenate([c.a, c.b[..., None, :]], axis=-2)   # [..., K+1, N]
     d = tn.decompose(ab, beta, l)                             # [l, ..., K+1, N]
     d = jnp.moveaxis(d, 0, -2)                                # [..., K+1, l, N]

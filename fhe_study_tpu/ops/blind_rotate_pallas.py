@@ -38,8 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import ntt as ntt_mod
 from .ntt_pallas import (LANES, U32, _mont32_consts, _stage_tables,
-                         _mont_mul, _shoup_mul, _addmod, _submod, _roll,
-                         _swap_xor_t, _first_half_mask, _on_tpu)
+                         _mont_mul, _shoup_mul, _shoup_mul_lazy, _addmod,
+                         _submod, _roll, _swap_xor_t, _first_half_mask,
+                         _on_tpu, _norm2q, _fwd_stage_lazy, _inv_stage_lazy,
+                         _lazy_ok)
 
 I32 = jnp.int32
 
@@ -111,32 +113,52 @@ def _rotate_neg_batch(z1, h, negall, n, rows):
     return rot, flip
 
 
-def _fwd_ntt(x, q, tw_ref, pidx, logn, rows):
-    """CT forward stages, static modulus q (plain/Shoup domain)."""
+def _fwd_ntt(x, q, tw_ref, pidx, logn, rows, lazy):
+    """CT forward stages, static modulus q (plain/Shoup domain).
+
+    lazy (q < 2^30, ntt_pallas._lazy_ok): Harvey lazy butterflies — one
+    [0,4q)→[0,2q) norm per stage instead of three per-op compare-selects;
+    the output rides in [0, 4q) and the downstream contraction's
+    `_shoup_mul` (any-u32-input, fully reducing) collapses it for free."""
+    qq, q2 = U32(q), U32(2 * q)
     for s in range(logn):
         t = (1 << logn) >> (s + 1)
         tw = tw_ref[pidx, 0, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[pidx, 0, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            first = _first_half_mask(x.shape, t)
+            x = _fwd_stage_lazy(x, y, first, tw, twp, qq, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
-        p = _shoup_mul(jnp.where(first, y, x), tw, twp, U32(q))
+        p = _shoup_mul(jnp.where(first, y, x), tw, twp, qq)
         x = jnp.where(first, _addmod(x, p, q), _submod(y, p, q))
     return x
 
 
-def _inv_ntt(x, q, tw_ref, pidx, logn, rows, ninv_pair):
-    """GS inverse stages + n^{-1} epilogue, static modulus q."""
+def _inv_ntt(x, q, tw_ref, pidx, logn, rows, ninv_pair, lazy):
+    """GS inverse stages + n^{-1} epilogue, static modulus q.  The lazy
+    [0, 4q) residue is fully reduced by the epilogue's `_shoup_mul`."""
+    qq, q2 = U32(q), U32(2 * q)
     for s in range(logn):
         t = 1 << s
         tw = tw_ref[pidx, 1, 0, s, :].reshape(1, rows, LANES)
         twp = tw_ref[pidx, 1, 1, s, :].reshape(1, rows, LANES)
+        if lazy:
+            x = _norm2q(x, q2)
+            y = _swap_xor_t(x, t, rows)
+            first = _first_half_mask(x.shape, t)
+            x = _inv_stage_lazy(x, y, first, tw, twp, qq, q2)
+            continue
         y = _swap_xor_t(x, t, rows)
         first = _first_half_mask(x.shape, t)
         diff = _submod(y, x, q)
         x = jnp.where(first, _addmod(x, y, q),
-                      _shoup_mul(diff, tw, twp, U32(q)))
+                      _shoup_mul(diff, tw, twp, qq))
     return _shoup_mul(x, jnp.full_like(x, ninv_pair[0]),
-                      jnp.full_like(x, ninv_pair[1]), U32(q))
+                      jnp.full_like(x, ninv_pair[1]), qq)
 
 
 # ---------------------------------------------------------------------------
@@ -144,7 +166,8 @@ def _inv_ntt(x, q, tw_ref, pidx, logn, rows, ninv_pair):
 # ---------------------------------------------------------------------------
 
 def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
-               ev2s_ref, o_ref, acc_ref, *, n, B, C, w, l, kn, pq, crt):
+               ev2s_ref, o_ref, acc_ref, *, n, B, C, w, l, kn, pq, crt,
+               lazy):
     """One grid step = one CMux link of the blind-rotation chain.  Grid is
     (batch blocks, kn): j (minor) walks the chain, ib picks the batch tile
     whose accumulator currently lives in scratch.  B = the tile size."""
@@ -222,24 +245,41 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
     outs = []                                # per prime: [B, C, 2, rows, LANES]
     for pidx in range(2):
         q, nq = qs[pidx], nqs[pidx]
-        e = _fwd_ntt(xf, q, tw_ref, pidx, logn, rows)
+        e = _fwd_ntt(xf, q, tw_ref, pidx, logn, rows, lazy)
         e = e.reshape(B, C, l, rows, LANES)
         evp = ev[pidx][...].reshape(C, l, C, 2, rows, LANES)
         evps = evsh[pidx][...].reshape(C, l, C, 2, rows, LANES)
+        # lazy contraction: products stay in [0, 2q) (no per-product
+        # correction); running sum re-normalized [0,4q)->[0,2q) after each
+        # add EXCEPT the last — the inverse NTT's lazy stage-entry norm (or
+        # its fully-reducing epilogue) absorbs the final [0, 4q) residue.
+        q2 = U32(2 * q)
         cols = []
         for c in range(C):
             for limb in range(2):
                 s = None
                 for r in range(C):
                     for i in range(l):
-                        p = _shoup_mul(e[:, r, i], evp[r, i, c, limb][None],
-                                       evps[r, i, c, limb][None], U32(q))
-                        s = p if s is None else _addmod(s, p, q)
+                        if lazy:
+                            p = _shoup_mul_lazy(e[:, r, i],
+                                                evp[r, i, c, limb][None],
+                                                evps[r, i, c, limb][None],
+                                                U32(q))
+                            if s is None:
+                                s = p
+                            else:
+                                last = (r == C - 1) and (i == l - 1)
+                                s = s + p if last else _norm2q(s + p, q2)
+                        else:
+                            p = _shoup_mul(e[:, r, i],
+                                           evp[r, i, c, limb][None],
+                                           evps[r, i, c, limb][None], U32(q))
+                            s = p if s is None else _addmod(s, p, q)
                 cols.append(s)               # [B, rows, LANES]
         st = jnp.stack(cols, 1)              # [B, C*2, rows, LANES]
         ninv = _stage_tables(q, n)[2]
         iv = _inv_ntt(st.reshape(B * C * 2, rows, LANES), q, tw_ref, pidx,
-                      logn, rows, (int(ninv[0]), int(ninv[1])))
+                      logn, rows, (int(ninv[0]), int(ninv[1])), lazy)
         outs.append(iv.reshape(B, C, 2, rows, LANES))
 
     # ---- exact CRT recombination mod 2^64 (tggsw.py:206-216) -------------
@@ -274,7 +314,7 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
 
 @lru_cache(maxsize=None)
 def _crt_consts():
-    p1, p2 = ntt_mod.CRT_PRIMES[:2]
+    p1, p2 = ntt_mod.CRT_PRIMES_TFHE
     m12 = p1 * p2
     inv = pow(p1, -1, p2)
     return {
@@ -289,18 +329,18 @@ def _crt_consts():
 @lru_cache(maxsize=None)
 def _br_tw(n: int):
     """[2 primes, 2 fwd/inv, 2 w/shoup, logn, n] twiddle stack."""
-    p1, p2 = ntt_mod.CRT_PRIMES[:2]
+    p1, p2 = ntt_mod.CRT_PRIMES_TFHE
     return np.stack([np.stack(_stage_tables(q, n)[:2]) for q in (p1, p2)])
 
 
 def supported(param, beta: int, l: int) -> bool:
     """Static conditions under which the fused chain applies."""
     n = param.ring.n
-    p1, p2 = ntt_mod.CRT_PRIMES[:2]
+    p1, p2 = ntt_mod.CRT_PRIMES_TFHE
     w = beta.bit_length() - 1
     return (n >= LANES and n % LANES == 0 and (n & (n - 1)) == 0
             and beta == (1 << w) and w * l <= 64 and beta <= min(p1, p2)
-            and (param.k + 1) * l * n * beta < (1 << 28)
+            and (param.k + 1) * l * n * beta < (1 << 26)
             and (n // LANES) >= 1)
 
 
@@ -320,7 +360,7 @@ def blind_rotate_fused(shifts, acc0, ev1, ev1s, ev2, ev2s, n: int, w: int,
     assert ev1.shape == (kn, C, l, C, 2, n), ev1.shape
     if interpret is None:
         interpret = not _on_tpu()
-    pq = ntt_mod.CRT_PRIMES[:2]
+    pq = ntt_mod.CRT_PRIMES_TFHE
     logn = n.bit_length() - 1
     a0 = jnp.stack([(acc0 & jnp.uint64(0xFFFFFFFF)).astype(U32),
                     (acc0 >> jnp.uint64(32)).astype(U32)], 2)  # [B, C, 2, n]
@@ -332,7 +372,7 @@ def blind_rotate_fused(shifts, acc0, ev1, ev1s, ev2, ev2s, n: int, w: int,
     while B % bb:
         bb -= 1
     kern = partial(_br_kernel, n=n, B=bb, C=C, w=w, l=l, kn=kn, pq=pq,
-                   crt=_crt_consts())
+                   crt=_crt_consts(), lazy=_lazy_ok(pq))
     # NB index maps: every constant is written 0*j — bare Python 0 traces as
     # i64 under x64 and Mosaic cannot legalize i64 transform returns.
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -629,6 +629,14 @@ def intt_cyclic(a, q: int, w: int | None = None):
 # NTT-friendly primes p ≡ 1 (mod 2^27): support n up to 2^26.
 CRT_PRIMES = (2013265921, 1811939329, 469762049)  # 15*2^27+1, 27*2^26+1, 7*2^26+1
 
+# Sub-2^30 pair for the TFHE eval-domain path (tggsw Fourier-BSK + the fused
+# blind-rotation kernel): both primes sit under the Harvey lazy-butterfly
+# gate (ntt_pallas._lazy_ok), which the 31-bit CRT_PRIMES pair misses.
+# Capacity p1*p2/2 ≈ 2^58.4 → conv bound (K+1)·l·n·beta < 2^26 (vs 2^28 for
+# the 31-bit pair); TFHE defaults use 2^24.  Exactness is prime-agnostic —
+# both CRT recombinations return the identical mod-2^64 value.
+CRT_PRIMES_TFHE = (998244353, 754974721)  # 119*2^23+1, 45*2^24+1 (n ≤ 2^22)
+
 
 def _conv_mod_p(a_mod, b_mod, p):
     return negacyclic_mul(a_mod, b_mod, p)

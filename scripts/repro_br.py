@@ -11,8 +11,15 @@ kn = n
 rng = np.random.default_rng(0)
 shifts = jnp.asarray(rng.integers(0, 2 * n, (kn, B)), jnp.int32)
 acc0 = jnp.asarray(rng.integers(0, 1 << 63, (B, C, n)).astype(np.uint64))
-p1, p2 = 2013265921, 1811939329
-ev1 = jnp.asarray(rng.integers(0, p1, (kn, C, l, C, 2, n)), jnp.uint32)
-ev2 = jnp.asarray(rng.integers(0, p2, (kn, C, l, C, 2, n)), jnp.uint32)
-out = brp.blind_rotate_fused(shifts, acc0, ev1, ev2, n, w, interpret=False)
+from fhe_study_tpu.ops import ntt as ntt_mod
+p1, p2 = ntt_mod.CRT_PRIMES_TFHE
+ev1 = rng.integers(0, p1, (kn, C, l, C, 2, n)).astype(np.uint64)
+ev2 = rng.integers(0, p2, (kn, C, l, C, 2, n)).astype(np.uint64)
+ev1s = ((ev1 << 32) // p1).astype(np.uint32)
+ev2s = ((ev2 << 32) // p2).astype(np.uint32)
+out = brp.blind_rotate_fused(shifts, acc0,
+                             jnp.asarray(ev1.astype(np.uint32)),
+                             jnp.asarray(ev1s),
+                             jnp.asarray(ev2.astype(np.uint32)),
+                             jnp.asarray(ev2s), n, w, interpret=False)
 print(np.asarray(out).sum())
