@@ -28,6 +28,7 @@ bit-identical to `blind_rotation(..., fast=True)` — asserted by
 tests/test_bootstrap.py against the scan path.
 """
 
+import os as _os
 from functools import lru_cache, partial
 
 import numpy as np
@@ -368,7 +369,8 @@ def blind_rotate_fused(shifts, acc0, ev1, ev1s, ev2, ev2s, n: int, w: int,
     # batch tile: the per-step working set (digit planes + ~3 live stage
     # temporaries per prime) scales with bb*C*l*n — 768 KB of digit rows
     # measured safe next to the 655 KB twiddle + 786 KB BSK blocks
-    bb = bb_override or max(1, min(B, (768 * 1024) // (C * l * n * 4)))
+    bb = (bb_override or int(_os.environ.get("FHE_BR_BB", "0"))
+          or max(1, min(B, (768 * 1024) // (C * l * n * 4))))
     while B % bb:
         bb -= 1
     kern = partial(_br_kernel, n=n, B=bb, C=C, w=w, l=l, kn=kn, pq=pq,
