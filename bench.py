@@ -10,7 +10,7 @@ complete line is always the headline no matter where a timeout lands
 (duplicate lines are intentional — crash-proofing, see VERDICT r02 #1).
 A failing config prints an {"metric": ..., "error": ...} line and the rest
 still run.  Wall-clock is budgeted globally: FHE_BENCH_TOTAL_BUDGET
-(default 1500 s) is split across modes, and a mode whose slice has run out
+(default 1200 s) is split across modes, and a mode whose slice has run out
 is skipped with a *_SKIPPED line instead of starving the scorecard.
 FHE_BENCH_KIND=bfv|bfv_linear|ckks|tfhe|tfhe_prod|ckks_boot|ntt runs one.
 
@@ -392,7 +392,7 @@ def bench_ckks_boot():
     # delta0 = 2^55: the refreshed precision is (C2S w-noise ~2^-34..38) x
     # (2pi(K+.5)) x (Q0/2pi)/delta0 — raising delta0 toward Q0 is the
     # dominant precision lever (measured +1 bit per delta0 bit, r3 probes;
-    # scripts/check_boot_cpu.py reproduces the sweep); arcsin_terms=4 keeps
+    # scripts/boot_probe.py e2e reproduces the sweep); arcsin_terms=4 keeps
     # the linearization residual below it at s ~ 2^-2.6
     delta0 = float(os.environ.get("FHE_BENCH_DELTA0", 2.0 ** 55))
     delta_w = 2.0 ** 60
@@ -645,11 +645,11 @@ def main():
         # — the driver parses the FINAL JSON line of the run.
         "ntt": bench_ntt,
         "bfv": bench_bfv,
+        "ckks_boot": bench_ckks_boot,
         "bfv_linear": bench_bfv_linear,
         "ckks": bench_ckks,
         "tfhe": bench_tfhe,
         "tfhe_prod": bench_tfhe_prod,
-        "ckks_boot": bench_ckks_boot,
     }
     if kind != "all":
         modes[kind]()
@@ -657,17 +657,18 @@ def main():
     import signal
     import sys
     import traceback
-    # global wall-clock budget, split across modes: round 2's scorecard was
-    # lost to a driver-side `timeout` kill (BENCH_r02.json rc=124) — the run
-    # must finish, with every config either measured, errored, or SKIPPED.
-    # warm-cache timings (r3): ntt+bfv+linear+ckks+2xtfhe ~ 17 min, the
-    # bootstrap ~11 min (3.4 GB key-cache load + relay upload dominate) —
-    # 2200 s fits everything; a driver kill mid-run still leaves the
-    # headline as the last complete line (it re-emits after every mode)
-    total = int(os.environ.get("FHE_BENCH_TOTAL_BUDGET", 2200))
+    # global wall-clock budget, split across modes: rounds 2 AND 3 lost
+    # scorecard lines to a driver-side `timeout` kill (rc=124) — the run
+    # must finish INSIDE THE DRIVER'S ~30-min window (which also includes
+    # bench.py's own multi-minute startup), with every config either
+    # measured, errored, or SKIPPED.  1200 s of measured modes + startup
+    # fits with margin.  ckks_boot (the most expensive mode) runs right
+    # after the headline so a kill can only cost the cheap tail modes; the
+    # headline re-emits after every mode either way.
+    total = int(os.environ.get("FHE_BENCH_TOTAL_BUDGET", 1200))
     # per-mode ceilings (compile-heavy modes need more; measured r02/r03)
-    cap = {"ntt": 240, "bfv": 420, "bfv_linear": 300, "ckks": 300,
-           "tfhe": 300, "tfhe_prod": 300, "ckks_boot": 900}
+    cap = {"ntt": 180, "bfv": 360, "bfv_linear": 180, "ckks": 180,
+           "tfhe": 200, "tfhe_prod": 200, "ckks_boot": 600}
     t_start = time.monotonic()
     headline = None
 

@@ -305,7 +305,7 @@ def _stage_s2c(param_boot, keys, halves, delta0, double=False,
         double-prime scale ~ delta0*q' (~2^54).  Rescaling all the way to
         delta0 would floor the refreshed precision at
         log2(delta0) - log2(KS/rescale noise) ~ 15 bits (measured,
-        scripts/debug_boot_hp_s2c.py: the S2C matvec itself is 45-bit
+        scripts/boot_probe.py (r3 probe): the S2C matvec itself is 45-bit
         accurate pre-rescale); at the double-prime scale the additive
         noise sits ~46 bits below the scale and EvalMod's approximation
         error becomes the limiter.  Downstream arithmetic uses the

@@ -342,6 +342,12 @@ def supported(param, beta: int, l: int) -> bool:
     return (n >= LANES and n % LANES == 0 and (n & (n - 1)) == 0
             and beta == (1 << w) and w * l <= 64 and beta <= min(p1, p2)
             and (param.k + 1) * l * n * beta < (1 << 26)
+            # negacyclic NTT needs a primitive 2n-th root: 2n | p-1 for both
+            # primes (998244353 admits n <= 2^22, 754974721 n <= 2^23) —
+            # without this a large-n config passes the capacity gate only to
+            # trip get_plan's "not NTT-friendly" assert instead of falling
+            # back to the scan path
+            and all((p - 1) % (2 * n) == 0 for p in (p1, p2))
             and (n // LANES) >= 1)
 
 
@@ -369,8 +375,13 @@ def blind_rotate_fused(shifts, acc0, ev1, ev1s, ev2, ev2s, n: int, w: int,
     # batch tile: the per-step working set (digit planes + ~3 live stage
     # temporaries per prime) scales with bb*C*l*n — 768 KB of digit rows
     # measured safe next to the 655 KB twiddle + 786 KB BSK blocks
-    bb = (bb_override or int(_os.environ.get("FHE_BR_BB", "0"))
+    try:
+        bb_env = int(_os.environ.get("FHE_BR_BB", "0"))
+    except ValueError:
+        bb_env = 0                       # malformed override: fall back
+    bb = (bb_override or bb_env
           or max(1, min(B, (768 * 1024) // (C * l * n * 4))))
+    bb = max(1, min(B, bb))              # clamp overrides into [1, B]
     while B % bb:
         bb -= 1
     kern = partial(_br_kernel, n=n, B=bb, C=C, w=w, l=l, kn=kn, pq=pq,

@@ -1,5 +1,5 @@
 """Compare NTT implementations on the attached device: XLA butterflies vs
-Pallas fused kernel vs MXU four-step matmul.  [P, B, n] multi-prime shapes.
+Pallas fused kernel (the MXU four-step path was removed in r3 — BENCH.md).  [P, B, n] multi-prime shapes.
 
 Usage: python scripts/bench_ntt_paths.py  [env: FHE_BENCH_N/B/P]
 """
