@@ -428,26 +428,33 @@ def bench_ckks_boot():
         import hashlib
         import pickle
         cfg = (n, B, L, K, r, deg, float(delta0), float(delta_w),
-               arcsin_terms, base, h, 3)        # trailing int: cache rev
+               arcsin_terms, base, h, 4)        # trailing int: cache rev
         tag = hashlib.sha1(repr(cfg).encode()).hexdigest()[:16]
         cache_f = f"/root/repo/_build/bootkeys_{tag}.pkl"
+        # SEEDED key cache (r4): only the b planes + the PRNG master key are
+        # stored/uploaded — half the bytes of the r3 full-pytree cache (the
+        # 3.4 GB load + relay upload was most of this mode's 11 min); the
+        # `a` planes regenerate bit-exactly ON the TPU (BB.expand_seeded)
         if os.path.exists(cache_f):
             with open(cache_f, "rb") as fh:
-                arrays, static, pout = pickle.load(fh)
-            arrays = jax.tree.map(jnp.asarray, arrays)
+                packed, static, pout = pickle.load(fh)
+            packed = jax.tree.map(jnp.asarray, packed)
         else:
             arrays, static, pout = BB.precompute_keys(
                 ks[2], param, sk, delta0, batch=(B,), K=K, r=r, deg=deg,
                 delta_w=delta_w, arcsin_terms=arcsin_terms, base_limbs=base)
+            packed = BB.pack_seeded(arrays, ks[2], param)
+            del arrays
             try:
                 with open(cache_f, "wb") as fh:
-                    pickle.dump((jax.tree.map(np.asarray, arrays), static,
+                    pickle.dump((jax.tree.map(np.asarray, packed), static,
                                  pout), fh, protocol=4)
             except OSError:
                 pass                          # disk-full etc: cache optional
     dev = jax.devices()[0]
-    arrays, ct1 = jax.tree.map(lambda x: jax.device_put(x, dev),
-                               (arrays, ct1))
+    packed, ct1 = jax.tree.map(lambda x: jax.device_put(x, dev),
+                               (packed, ct1))
+    arrays = BB.expand_seeded(packed, param)   # a-planes regenerate on-chip
 
     # per-STAGE jits: the whole-pipeline single jit is a graph XLA compiles
     # for tens of minutes (see BB.make_staged)

@@ -60,6 +60,16 @@ class BootstrapKeys:
         return self._rot
 
 
+def _rlk_subkey(master, L: int):
+    """Deterministic per-level relin subkey — single source of truth shared
+    by the lazy builder and the seeded-key packer (pack_seeded)."""
+    return jax.random.fold_in(master, 100000 + L)
+
+
+def _rot_subkey(master, L: int, g: int):
+    return jax.random.fold_in(master, 200000 + L * 8192 + g)
+
+
 class _LazyRlk(dict):
     def __init__(self, bk):
         super().__init__()
@@ -71,7 +81,7 @@ class _LazyRlk(dict):
         # compile-time eval: key material must come out CONCRETE even when
         # the cache miss fires inside a trace (eval_shape/jit warmups)
         with jax.ensure_compile_time_eval():
-            k = jax.random.fold_in(self.bk.key, 100000 + L)
+            k = _rlk_subkey(self.bk.key, L)
             self[L] = ckks_rns.hybrid_rlk(
                 k, pL, ckks_rns.SecretKey(self.bk.sk.s_evals[:L]))
         return self[L]
@@ -88,7 +98,7 @@ class _LazyRot(ev.RotKeys):
                                 delta=self.bk.param.delta,
                                 prime_bits=self.bk.param.prime_bits)
             with jax.ensure_compile_time_eval():   # concrete even mid-trace
-                k = jax.random.fold_in(self.bk.key, 200000 + L * 8192 + g)
+                k = _rot_subkey(self.bk.key, L, g)
                 self.keys[(L, g)] = hybrid_ks.galois_key_hybrid(
                     k, pL, ckks_rns.SecretKey(self.bk.sk.s_evals[:L]), g)
         return self.keys[(L, g)]
@@ -133,6 +143,51 @@ class FrozenKeys:
 
     def rotkeys(self):
         return self._rot
+
+
+def pack_seeded(arrays, master_key, param_boot):
+    """Seeded-`a` key compression of a frozen bootstrap key set.
+
+    Every HybridKSK mask `a` is a pure function of its deterministic PRNG
+    subkey (hybrid_ks.seed_of + the _rlk_subkey/_rot_subkey schedule), so
+    the packed pytree keeps only the `b` planes + the master key — HALF
+    the bytes on disk and over the wire.  expand_seeded() regenerates the
+    `a` planes bit-exactly on whatever device the packed pytree lives on.
+    (Production feature beyond the reference — it never serializes keys
+    at all; SURVEY.md §5 checkpoint row.)"""
+    import numpy as np
+    rlk = {L: k.b for L, k in arrays["rlk"].items()}
+    rot = {kk: k.b for kk, k in arrays["rot"].items()}
+    return {"rlk": rlk, "rot": rot, "em": arrays["em"],
+            "seed": np.asarray(master_key)}
+
+
+def expand_seeded(packed, param_boot):
+    """Inverse of pack_seeded: regenerate every `a` plane on-device.
+
+    One small jit per distinct level shape (persistently compile-cached);
+    bit-exact vs the originally built keys (threefry + integer NTTs are
+    backend-deterministic)."""
+    master = jnp.asarray(packed["seed"])
+    P = ckks_rns.Param
+
+    def pL_of(L):
+        return P(n=param_boot.n, L=L, delta=param_boot.delta,
+                 prime_bits=param_boot.prime_bits)
+
+    rlk = {}
+    for L, b in packed["rlk"].items():
+        K = int(b.shape[1]) - L
+        ka = hybrid_ks.seed_of(_rlk_subkey(master, L))
+        rlk[L] = hybrid_ks.HybridKSK(
+            b=b, a=hybrid_ks.expand_a(pL_of(L), ka, K))
+    rot = {}
+    for (L, g), b in packed["rot"].items():
+        K = int(b.shape[1]) - L
+        ka = hybrid_ks.seed_of(_rot_subkey(master, L, g))
+        rot[(L, g)] = hybrid_ks.HybridKSK(
+            b=b, a=hybrid_ks.expand_a(pL_of(L), ka, K))
+    return {"rlk": rlk, "rot": rot, "em": packed["em"]}
 
 
 def mod_raise(param_boot, ct_l1):

@@ -114,6 +114,39 @@ def _hybrid_ksk_impl(key, param, s_old_evals, s_new_evals,
     return HybridKSK(b=b.astype(jnp.uint32), a=ea.astype(jnp.uint32))
 
 
+def seed_of(key):
+    """The a-plane PRNG subkey of the HybridKSK built from `key`.
+
+    `_hybrid_ksk_impl` draws (k_a, k_e) = split(key, 2) and derives the
+    uniform mask `a` purely from k_a (threefry: deterministic on every
+    backend) — so a packer can drop the stored `a` plane entirely and
+    keep only k_a.  Seeded-key compression (the SEAL/OpenFHE trick the
+    reference never had): halves key bytes at rest / over the wire."""
+    return prng.split(key, 2)[0]
+
+
+@lru_cache(maxsize=None)
+def _expand_a_jit(param, K: int):
+    def build(ka):
+        qs = param.qs
+        ps = ks_ext_primes(param, K)
+        both = qs + ps
+        L, n = param.L, param.n
+        a = jnp.transpose(prng.uniform_mod_multi(ka, (L, n), both),
+                          (1, 0, 2))
+        ea = jnp.moveaxis(ntt_multi(jnp.moveaxis(a, 1, 0), both), 0, 1)
+        return ea.astype(jnp.uint32)
+    return jax.jit(build)
+
+
+def expand_a(param, ka, K: int = 2):
+    """Regenerate a HybridKSK's `a` plane (NTT domain, u32 [L, L+K, n])
+    bit-exactly from its PRNG subkey (see seed_of).  Runs on the current
+    default device — expanding on the TPU after uploading only the b
+    planes halves the host->device transfer of a key set."""
+    return _expand_a_jit(param, K)(ka)
+
+
 def _div_by_P_round(param, acc, ps: tuple):
     """acc: coeff-domain [L+K, ..., n] residues of X over Q u P ->
     round(X / P) over Q (exact: subtract the centered remainder, multiply

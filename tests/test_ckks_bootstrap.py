@@ -147,3 +147,40 @@ def test_ckks_bootstrap_double_base_high_precision():
     got = np.asarray(rr) + 1j * np.asarray(ri)
     err = np.abs(got - z).max()
     assert err < 2.0 ** -25, f"only {-np.log2(err):.1f} refreshed bits"
+
+
+def test_seeded_key_pack_expand_bit_exact():
+    """pack_seeded drops every HybridKSK `a` plane (half the key bytes);
+    expand_seeded regenerates them BIT-EXACTLY from the PRNG schedule —
+    the seeded-key compression round trip is lossless."""
+    n, L = 32, 18
+    delta0 = 2.0 ** 24
+    param = C.Param(n=n, L=L, delta=delta0)
+    ks = prng.split(jax.random.PRNGKey(5), 3)
+    sk, pk = C.new_key(ks[0], param)
+    arrays, static, pout = B.precompute_keys(ks[2], param, sk, delta0)
+    packed = B.pack_seeded(arrays, ks[2], param)
+    # packed is really smaller: no `a` planes anywhere
+    full_b = sum(x.nbytes for x in jax.tree.leaves(arrays))
+    pack_b = sum(np.asarray(x).nbytes for x in jax.tree.leaves(packed))
+    assert pack_b < 0.62 * full_b, (pack_b, full_b)
+    out = B.expand_seeded(packed, param)
+    for Lk, k in arrays["rlk"].items():
+        np.testing.assert_array_equal(np.asarray(out["rlk"][Lk].a),
+                                      np.asarray(k.a))
+        np.testing.assert_array_equal(np.asarray(out["rlk"][Lk].b),
+                                      np.asarray(k.b))
+    for kk, k in arrays["rot"].items():
+        np.testing.assert_array_equal(np.asarray(out["rot"][kk].a),
+                                      np.asarray(k.a))
+    # and the expanded set actually bootstraps (decrypt-verified)
+    rng = np.random.default_rng(6)
+    z = rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)
+    ct = C.encrypt(ks[1], param, pk,
+                   C.encode(param, jnp.asarray(z.real), jnp.asarray(z.imag)))
+    ct1, _ = P.level_drop(param, ct, 1)
+    run = B.make_staged(param, static, delta0)
+    out_ct, pout2 = run(out, ct1.c0, ct1.c1)
+    rr, ri = C.decode(pout2, C.decrypt_to_coeffs(pout2, sk, out_ct))
+    got = np.asarray(rr) + 1j * np.asarray(ri)
+    np.testing.assert_allclose(got, z, atol=1e-2)
