@@ -84,12 +84,32 @@ def hybrid_mesh(ici: dict[str, int] | None = None,
     for ax in ("ep", "sp", "tp"):
         ici.setdefault(ax, 1)
     ici_total = ici["ep"] * ici["sp"] * ici["tp"]
-    axis_names = (dcn_axis, "ep", "sp", "tp")
+    assert dcn_axis in ("dp", "ep"), dcn_axis
+    axis_names = ("dp", "ep", "sp", "tp")
+
+    def _ep_spanning(devices, groups):
+        """Device grid with the host/process factor OUTERMOST IN EP —
+        dcn_axis="ep": the RNS limb axis spans the DCN tier, so limb
+        all_gathers (base extension) genuinely cross hosts.  Off the
+        default layout deliberately: used to demonstrate/exercise
+        cross-host collectives beyond all-reduce (SURVEY §2.6 comm row,
+        BASELINE ">= 2 hosts")."""
+        n = len(devices)
+        dp = n // (groups * ici_total)
+        arr = np.array(devices).reshape(groups, dp, ici["ep"], ici["sp"],
+                                        ici["tp"])
+        arr = np.moveaxis(arr, 0, 1)        # [dp, groups, ep_i, sp, tp]
+        return arr.reshape(dp, groups * ici["ep"], ici["sp"], ici["tp"])
 
     if jax.process_count() > 1:
         per_host = jax.local_device_count()
         assert per_host % ici_total == 0, \
             f"host has {per_host} chips, ici axes need {ici_total}"
+        devices = sorted(jax.devices(),
+                         key=lambda d: (d.process_index, d.id))
+        if dcn_axis == "ep":
+            devs = _ep_spanning(devices, jax.process_count())
+            return Mesh(devs, axis_names=axis_names)
         dp = jax.device_count() // ici_total
         try:
             from jax.experimental import mesh_utils
@@ -101,8 +121,6 @@ def hybrid_mesh(ici: dict[str, int] | None = None,
             # CPU / mock backends carry no slice_index attribute (mesh_utils
             # counts 1 slice); group by owning process instead — same
             # topology: dp outermost spanning the process (DCN) tier
-            devices = sorted(jax.devices(),
-                             key=lambda d: (d.process_index, d.id))
             devs = np.array(devices).reshape(dp, ici["ep"], ici["sp"],
                                              ici["tp"])
         return Mesh(devs, axis_names=axis_names)
@@ -112,6 +130,8 @@ def hybrid_mesh(ici: dict[str, int] | None = None,
     n = len(devices)
     assert n % (hosts * ici_total) == 0, \
         f"{n} devices don't factor into {hosts} hosts x {ici} ici"
+    if dcn_axis == "ep":
+        return Mesh(_ep_spanning(devices, hosts), axis_names=axis_names)
     dp = n // ici_total           # host factor folds into dp (outermost)
     devs = np.array(devices).reshape(dp, ici["ep"], ici["sp"], ici["tp"])
     return Mesh(devs, axis_names=axis_names)

@@ -95,6 +95,56 @@ def main():
 
     print(f"DIST2PROC OK p{pid}", flush=True)
 
+    # ---- phase 2: ep SPANNING the process boundary -------------------------
+    # dcn_axis="ep": the RNS limb axis crosses the DCN tier, so the base-
+    # extension limb all_gathers inside R.mul are REAL cross-process
+    # collectives (not just the replicated all-reduce above) — the
+    # VERDICT-r3 #6 deliverable.  dp=4 stays within each process.
+    mesh2 = distributed.hybrid_mesh(ici={"ep": 1}, dcn_axis="ep")
+    assert mesh2.shape == {"dp": 4, "ep": 2, "sp": 1, "tp": 1}, mesh2.shape
+    # every (dp, ep) mesh entry pairs devices from BOTH processes along ep
+    procs = np.vectorize(lambda d: d.process_index)(mesh2.devices)
+    assert (procs[:, 0, 0, 0] != procs[:, 1, 0, 0]).all(), \
+        "ep axis does not span the two processes"
+
+    B2 = 4
+    m1b, m2b = m1[:B2], m2[:B2]
+    # L=4 limbs so the limb axis divides ep=2 (phase 1's L=3 doesn't)
+    param4 = R.RnsParam(n=256, t=16, L=4, M=5)
+    ep_sh = NamedSharding(mesh2, P("ep", "dp", None))      # [L, B2, n]
+    sk4, pk4 = R.new_key(ks[0], param4)
+    hk4 = R.hybrid_rlk1(ks[1], param4, sk4)
+    c1f = R.encrypt(ks[4], param4, pk4, m1b, batch=(B2,))
+    c2f = R.encrypt(ks[5], param4, pk4, m2b, batch=(B2,))
+
+    def put2(a, sh):
+        an = np.asarray(a)
+        return jax.make_array_from_callback(an.shape, sh,
+                                            lambda idx: an[idx])
+
+    rep2 = NamedSharding(mesh2, P())
+    c1e = R.CT(put2(c1f.c0, ep_sh), put2(c1f.c1, ep_sh))
+    c2e = R.CT(put2(c2f.c0, ep_sh), put2(c2f.c1, ep_sh))
+    kb2, ka2 = put2(hk4.b, rep2), put2(hk4.a, rep2)
+    step2 = jax.jit(lambda a0, a1, b0, b1, b_, a_: R.mul(
+        param4, R.HRLK(b_, a_), R.CT(a0, a1), R.CT(b0, b1)))
+    out2 = step2(c1e.c0, c1e.c1, c2e.c0, c2e.c1, kb2, ka2)
+    jax.block_until_ready(out2)
+    # decrypt-verify from the locally addressable limb shards: each process
+    # owns limbs for ALL batch rows (dp within-process, ep across), so a
+    # full decrypt needs the gathered output — jit with replicated output
+    # forces the cross-process all_gather of the product's limb shards
+    gather = jax.jit(lambda a, b: (a + jnp.uint64(0), b + jnp.uint64(0)),
+                     out_shardings=(rep2, rep2))
+    g0, g1 = gather(out2.c0, out2.c1)
+    rec2 = np.asarray(R.decrypt(param4, sk4, R.CT(jnp.asarray(g0),
+                                                  jnp.asarray(g1))))
+    want2 = np.asarray(rn.to_rq(rn.naive_poly_mul(
+        m1b.astype(jnp.int64), m2b.astype(jnp.int64)), param4.t, param4.n))
+    assert (rec2 == want2).all(), "ep-spanning ct-mul decrypt mismatch"
+
+    print(f"DIST2PROC EP OK p{pid}", flush=True)
+
 
 if __name__ == "__main__":
     main()

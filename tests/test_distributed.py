@@ -96,3 +96,18 @@ def test_two_process_distributed_ct_mul():
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
     for pid, out in enumerate(outs):
         assert f"DIST2PROC OK p{pid}" in out, out[-3000:]
+        # phase 2: the RNS limb axis SPANS the two processes (dcn_axis="ep")
+        # and the ct-mul's base-extension all_gathers cross them for real
+        assert f"DIST2PROC EP OK p{pid}" in out, out[-3000:]
+
+
+def test_hybrid_mesh_ep_spans_hosts():
+    """dcn_axis="ep": the host factor lands OUTERMOST IN EP — simulated
+    2-host layout pairs devices of different hosts along ep."""
+    mesh = distributed.hybrid_mesh(ici={"ep": 1}, dcn_axis="ep",
+                                   simulate_hosts=2)
+    assert mesh.shape == {"dp": 4, "ep": 2, "sp": 1, "tp": 1}
+    devs = np.array(jax.devices())
+    # simulated host of device i = i // 4 (8 devices, 2 hosts)
+    host = np.vectorize(lambda d: d.id // 4)(mesh.devices)
+    assert (host[:, 0, 0, 0] == 0).all() and (host[:, 1, 0, 0] == 1).all()
