@@ -838,34 +838,47 @@ def tensor_eval4_u32(x0, x1, y0, y1, dst: tuple, scale: tuple | None = None,
     return out.reshape((Ld,) + batch + (3, n))
 
 
-def _ext_ntt_kernel(consts_ref, x_ref, tw_ref, o_ref, *, n, bb, P, src, lazy,
-                    him, snq, cfix):
+def _ext_ntt_kernel(consts_ref, x_ref, tw_ref, o_ref, ys_ref, al_ref, *, n,
+                    bb, P, src, lazy, him, snq, cfix):
     """Extend P coeff-domain polys (all Ls src rows resident) to dst prime j
-    (unsigned HPS) and forward-transform them — one pass."""
-    j = pl.program_id(0)
+    (unsigned HPS) and forward-transform them — one pass.
+
+    Grid is (batch block MAJOR, dst prime MINOR): the dst-INDEPENDENT half
+    of the extension (the y_i = x_i·[Qhat_i^-1] lifts and the α overflow
+    estimate — ~40% of the kernel's non-NTT ALU work) is computed once per
+    batch block at j == 0 and served from VMEM scratch for the remaining
+    dst primes; the input block's index ignores j, so Pallas also skips its
+    re-fetch on those steps (r4: this kernel measured 53% of the VPU op
+    ceiling with the work recomputed per prime — the redundancy was the
+    gap)."""
+    j = pl.program_id(1)
     q = consts_ref[0, j]
     nqinv = consts_ref[3, j]
     rows = n // LANES
     logn = n.bit_length() - 1
     Ls = len(src)
-    xin = x_ref[...].reshape(Ls, bb * P, rows, LANES)
-    ys = []
-    tlo = None
-    thi = None
-    for i, s_p in enumerate(src):
-        y = _mont_mul(xin[i], U32(int(him[i])), s_p, int(snq[i]))
-        ys.append(y)
-        hi, lo = _mul32_wide(y, U32(int(cfix[i])))
-        if tlo is None:
-            tlo, thi = lo, hi
-        else:
-            nlo = tlo + lo
-            thi = thi + hi + (nlo < lo).astype(U32)
-            tlo = nlo
-    al = thi >> U32(27)                        # floor α, unsigned contract
+
+    @pl.when(j == 0)
+    def _prologue():
+        xin = x_ref[...].reshape(Ls, bb * P, rows, LANES)
+        tlo = None
+        thi = None
+        for i, s_p in enumerate(src):
+            y = _mont_mul(xin[i], U32(int(him[i])), s_p, int(snq[i]))
+            ys_ref[i] = y
+            hi, lo = _mul32_wide(y, U32(int(cfix[i])))
+            if tlo is None:
+                tlo, thi = lo, hi
+            else:
+                nlo = tlo + lo
+                thi = thi + hi + (nlo < lo).astype(U32)
+                tlo = nlo
+        al_ref[...] = thi >> U32(27)           # floor α, unsigned contract
+
+    al = al_ref[...]
     acc = None
     for i in range(Ls):
-        term = _mont_mul_dyn(ys[i], consts_ref[4 + i, j], q, nqinv)
+        term = _mont_mul_dyn(ys_ref[i], consts_ref[4 + i, j], q, nqinv)
         acc = term if acc is None else _addmod_dyn(acc, term, q)
     corr = _mont_mul_dyn(al, consts_ref[4 + Ls, j], q, nqinv)
     x = _submod_dyn(acc, corr, q)              # [bb*P, rows, LANES]
@@ -917,17 +930,25 @@ def ext_ntt_u32(x, src: tuple, dst: tuple, interpret: bool | None = None,
     kern = partial(_ext_ntt_kernel, n=n, bb=bb, P=P, src=src, him=him,
                    snq=snq, cfix=cfix,
                    lazy=_lazy_ok(dst))
+    rows = n // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Ld, B // bb),
+        # batch MAJOR, dst prime MINOR: the x block ignores the prime index,
+        # so its DMA is skipped for Ld-1 of every Ld steps, and the scratch-
+        # cached extension prologue (see _ext_ntt_kernel) stays valid
+        grid=(B // bb, Ld),
         in_specs=[
             pl.BlockSpec((Ls, bb, P, n),
-                         lambda p, i, *_: (0 * p, i, 0 * p, 0 * p)),
+                         lambda i, p, *_: (0 * p, i, 0 * p, 0 * p)),
             pl.BlockSpec((1, 1, 2, logn, n),
-                         lambda p, i, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
+                         lambda i, p, *_: (p, 0 * p, 0 * p, 0 * p, 0 * p)),
         ],
         out_specs=pl.BlockSpec((1, bb, P, n),
-                               lambda p, i, *_: (p, i, 0 * p, 0 * p)),
+                               lambda i, p, *_: (p, i, 0 * p, 0 * p)),
+        scratch_shapes=[
+            pltpu.VMEM((Ls, bb * P, rows, LANES), jnp.uint32),
+            pltpu.VMEM((bb * P, rows, LANES), jnp.uint32),
+        ],
     )
     out = pl.pallas_call(
         kern,

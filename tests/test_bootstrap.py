@@ -202,3 +202,62 @@ def test_bootstrap_short_fused_parity():
                                     beta_ks=16, l_ks=8, fused=True)
     np.testing.assert_array_equal(np.asarray(ref.a), np.asarray(got.a))
     np.testing.assert_array_equal(np.asarray(ref.b), np.asarray(got.b))
+
+
+@pytest.mark.slow
+def test_bootstrap_reference_config_t_frontier():
+    """The reference's own bootstrap config — N=1024, k=1, t=128
+    (tlwe.rs:471-504) — at the CORRECT full CMux chain's measured noise
+    frontier (r4 sweep, /tmp-reproducible via this test):
+
+      * t=64 decrypts clean at N=1024 under the production 2^12x2
+        decomposition (also under 2^8x3 and 2^4x8 — the frontier is set by
+        the q2=2N mod-switch rounding, not the gadget base);
+      * t=128 is UNREACHABLE for a correct blind rotation at N=1024
+        (mod-switch error ~ sqrt(n)/2 * 2^64/2N ~ 2^57 vs the 2^56 step);
+        the reference only passes t=128 because its CMux chain never
+        executes (the lazy-iterator no-op, tlwe.rs:140-146 — SURVEY §2.5).
+
+    Asserts the t=64 frontier point exactly (all 64 batch messages)."""
+    n, t = 1024, 64
+    param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
+    ks = prng.split(jax.random.PRNGKey(42), 3)
+    table = bootstrap.compute_lookup_table_standard(param)
+    s, _ = tglwe.new_key(ks[0], param)
+    s_flat = tglwe.sk_to_tlwe(s)
+    btk, s_out = bootstrap.new_bootstrapping_key(
+        ks[1], param, s, beta=4096, l=2, beta_ks=16, l_ks=8,
+        s_lwe_out=s_flat)
+    B = 64
+    m = jnp.arange(B, dtype=jnp.uint64) % jnp.uint64(t // 2)
+    c = tlwe.encrypt_uniform(ks[2], param.lwe(), s_flat,
+                             tlwe.encode(param, m), batch=(B,))
+    out = bootstrap.bootstrap(param, btk, table, c, beta=4096, l=2,
+                              beta_ks=16, l_ks=8, mode="standard")
+    rec = tlwe.decode(param, tlwe.decrypt(param.lwe(), s_out, out))
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
+
+
+@pytest.mark.slow
+def test_bootstrap_reference_config_t128_observable():
+    """mode="reference" at the EXACT reference parameter set (N=1024, k=1,
+    t=128, tlwe.rs:471-474): reproduces the reference test's observable —
+    identity over the message space — which its executed path achieves
+    only because the CMux chain is skipped (tiny-mask encrypt_s +
+    rotation by b)."""
+    n, t = 1024, 128
+    param = Param(ERR_SIGMA, RingParam(TORUS_Q, n), 1, t)
+    ks = prng.split(jax.random.PRNGKey(7), 3)
+    table = bootstrap.compute_lookup_table(param)
+    s, _ = tglwe.new_key(ks[0], param)
+    s_flat = tglwe.sk_to_tlwe(s)
+    btk, s_out = bootstrap.new_bootstrapping_key(
+        ks[1], param, s, beta=2, l=8, beta_ks=2, l_ks=32, s_lwe_out=s_flat)
+    B = 128
+    m = jnp.arange(B, dtype=jnp.uint64) % jnp.uint64(t)
+    c = tlwe.encrypt_s(ks[2], param.lwe(), s_flat, tlwe.encode(param, m),
+                       batch=(B,))
+    out = bootstrap.bootstrap(param, btk, table, c, beta=2, l=8, beta_ks=2,
+                              l_ks=32, mode="reference")
+    rec = tlwe.decode(param, tlwe.decrypt(param.lwe(), s_out, out))
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(m))
