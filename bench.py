@@ -106,10 +106,28 @@ def bench_ntt():
     # exact production op sequence looped register/VMEM-resident, zero HBM
     # in the loop — ops/vpu_bench.py): a first-principles speed-of-light
     # the fused kernels cannot exceed, unlike the r1-r3 self-referential
-    # chained-bench denominator (VERDICT r3 weak #3, roofline_frac 1.05)
-    from fhe_study_tpu.ops.vpu_bench import ntt_vmem_ceiling
-    ceil = ntt_vmem_ceiling(n=n, B=B, reps=2048, iters=3, interpret=False,
-                            device=dev)
+    # chained-bench denominator (VERDICT r3 weak #3, roofline_frac 1.05).
+    # The ceiling is a HARDWARE constant — measured once per (n, B) and
+    # disk-cached so a flaky tunnel/compile can't starve the mode's slice
+    # (FHE_FORCE_CEILING=1 re-measures).
+    ceil_f = f"/root/repo/_build/vpu_ceiling_n{n}_B{B}.json"
+    ceil = None
+    if (os.path.exists(ceil_f)
+            and os.environ.get("FHE_FORCE_CEILING", "0") != "1"):
+        try:
+            with open(ceil_f) as fh:
+                ceil = json.load(fh)
+        except (OSError, ValueError):
+            ceil = None
+    if ceil is None:
+        from fhe_study_tpu.ops.vpu_bench import ntt_vmem_ceiling
+        ceil = ntt_vmem_ceiling(n=n, B=B, reps=2048, iters=3,
+                                device=dev)   # interpret auto: off-TPU smoke
+        try:
+            with open(ceil_f, "w") as fh:
+                json.dump(ceil, fh)
+        except OSError:
+            pass
     _NTT_CEILING["bf_per_s"] = ceil["butterflies_per_sec"]
     return _emit({
         "metric": f"ntt_fused_n{n}_L{L}_butterflies_per_sec",

@@ -168,10 +168,13 @@ def _inv_ntt(x, q, tw_ref, pidx, logn, rows, ninv_pair, lazy):
 
 def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
                ev2s_ref, o_ref, acc_ref, *, n, B, C, w, l, kn, pq, crt,
-               lazy):
-    """One grid step = one CMux link of the blind-rotation chain.  Grid is
-    (batch blocks, kn): j (minor) walks the chain, ib picks the batch tile
-    whose accumulator currently lives in scratch.  B = the tile size."""
+               lazy, U=1):
+    """One grid step = U consecutive CMux links of the blind-rotation chain.
+    Grid is (batch blocks, kn // U): j (minor) walks the chain, ib picks the
+    batch tile whose accumulator currently lives in scratch.  B = the tile
+    size.  U > 1 (FHE_BR_UNROLL) carries the accumulator in REGISTERS across
+    the unrolled links (skipping U-1 scratch round trips per grid step) and
+    amortizes the per-step grid/DMA fixed cost."""
     ib = pl.program_id(0)
     j = pl.program_id(1)
     rows = n // LANES
@@ -185,11 +188,36 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
         acc_ref[...] = acc0_ref[...].reshape(B, C, 2, rows, LANES)
 
     acc = acc_ref[...]                       # [B, C, 2, rows, LANES]
+    ev1u = ev1_ref[...].reshape(U, C, l, C, 2, rows * LANES)
+    ev1su = ev1s_ref[...].reshape(U, C, l, C, 2, rows * LANES)
+    ev2u = ev2_ref[...].reshape(U, C, l, C, 2, rows * LANES)
+    ev2su = ev2s_ref[...].reshape(U, C, l, C, 2, rows * LANES)
+    for u in range(U):
+        acc = _br_one_step(
+            shift_ref, tw_ref, acc, j * U + u, ib,
+            ev1u[u], ev1su[u], ev2u[u], ev2su[u],
+            n=n, B=B, C=C, w=w, l=l, pq=pq, crt=crt, lazy=lazy,
+            nq1=nq1, nq2=nq2)
+    acc_ref[...] = acc
+
+    @pl.when(j == (kn // U) - 1)
+    def _out():
+        o_ref[...] = acc.reshape(B, C, 2, n)
+
+
+def _br_one_step(shift_ref, tw_ref, acc, jj, ib, ev1b, ev1sb, ev2b, ev2sb,
+                 *, n, B, C, w, l, pq, crt, lazy, nq1, nq2):
+    """One CMux link on a register-resident accumulator.  jj: traced chain
+    index (SMEM shift lookup); ev*b: this link's BSK slice
+    [C, l, C, 2, rows*LANES]."""
+    rows = n // LANES
+    logn = n.bit_length() - 1
+    p1, p2 = pq
 
     # ---- rot = acc * X^{-(2n - a'_j)} (per-batch dynamic amounts) --------
     hs, negs, z1s = [], [], []
     for b in range(B):
-        h2 = shift_ref[j, ib * B + b]        # whole [kn, Btot] table in SMEM
+        h2 = shift_ref[jj, ib * B + b]       # whole [kn, Btot] table in SMEM
         negall = h2 >= I32(n)
         h = jnp.where(negall, h2 - I32(n), h2)
         hc = jax.lax.rem(h, I32(LANES))
@@ -239,8 +267,8 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
     # (keys are PLAIN eval-domain values with precomputed Shoup companions:
     # one wide-high + two low muls per product vs Montgomery's two wide
     # muls — the contraction is the dominant non-butterfly VPU work)
-    ev = (ev1_ref, ev2_ref)
-    evsh = (ev1s_ref, ev2s_ref)
+    ev = (ev1b, ev2b)
+    evsh = (ev1sb, ev2sb)
     qs = (p1, p2)
     nqs = (nq1, nq2)
     outs = []                                # per prime: [B, C, 2, rows, LANES]
@@ -248,8 +276,8 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
         q, nq = qs[pidx], nqs[pidx]
         e = _fwd_ntt(xf, q, tw_ref, pidx, logn, rows, lazy)
         e = e.reshape(B, C, l, rows, LANES)
-        evp = ev[pidx][...].reshape(C, l, C, 2, rows, LANES)
-        evps = evsh[pidx][...].reshape(C, l, C, 2, rows, LANES)
+        evp = ev[pidx].reshape(C, l, C, 2, rows, LANES)
+        evps = evsh[pidx].reshape(C, l, C, 2, rows, LANES)
         # lazy contraction: products stay in [0, 2q) (no per-product
         # correction); running sum re-normalized [0,4q)->[0,2q) after each
         # add EXCEPT the last — the inverse NTT's lazy stage-entry norm (or
@@ -305,12 +333,7 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
 
     # ---- acc <- acc + external_product (the CMux add) --------------------
     al, ah = _add64(acc[:, :, 0], acc[:, :, 1], f_lo, f_hi)
-    new = jnp.stack([al, ah], 2)             # [B, C, 2, rows, LANES]
-    acc_ref[...] = new
-
-    @pl.when(j == kn - 1)
-    def _out():
-        o_ref[...] = new.reshape(B, C, 2, n)
+    return jnp.stack([al, ah], 2)            # [B, C, 2, rows, LANES]
 
 
 @lru_cache(maxsize=None)
@@ -384,13 +407,20 @@ def blind_rotate_fused(shifts, acc0, ev1, ev1s, ev2, ev2s, n: int, w: int,
     bb = max(1, min(B, bb))              # clamp overrides into [1, B]
     while B % bb:
         bb -= 1
+    try:
+        U = int(_os.environ.get("FHE_BR_UNROLL", "1"))
+    except ValueError:
+        U = 1
+    U = max(1, min(kn, U))
+    while kn % U:
+        U -= 1                           # U must divide the chain length
     kern = partial(_br_kernel, n=n, B=bb, C=C, w=w, l=l, kn=kn, pq=pq,
-                   crt=_crt_consts(), lazy=_lazy_ok(pq))
+                   crt=_crt_consts(), lazy=_lazy_ok(pq), U=U)
     # NB index maps: every constant is written 0*j — bare Python 0 traces as
     # i64 under x64 and Mosaic cannot legalize i64 transform returns.
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(B // bb, kn),
+        grid=(B // bb, kn // U),
         in_specs=[
             # the whole [kn, B] shift table lives in SMEM (kn*B*4 bytes);
             # explicit index map — the auto-generated one returns bare-0
@@ -401,13 +431,13 @@ def blind_rotate_fused(shifts, acc0, ev1, ev1s, ev2, ev2s, n: int, w: int,
                          lambda i, j: (i, 0 * j, 0 * j, 0 * j)),
             pl.BlockSpec((2, 2, 2, logn, n),
                          lambda i, j: (0 * j, 0 * j, 0 * j, 0 * j, 0 * j)),
-            pl.BlockSpec((1, C, l, C, 2, n),
+            pl.BlockSpec((U, C, l, C, 2, n),
                          lambda i, j: (j, 0 * j, 0 * j, 0 * j, 0 * j, 0 * j)),
-            pl.BlockSpec((1, C, l, C, 2, n),
+            pl.BlockSpec((U, C, l, C, 2, n),
                          lambda i, j: (j, 0 * j, 0 * j, 0 * j, 0 * j, 0 * j)),
-            pl.BlockSpec((1, C, l, C, 2, n),
+            pl.BlockSpec((U, C, l, C, 2, n),
                          lambda i, j: (j, 0 * j, 0 * j, 0 * j, 0 * j, 0 * j)),
-            pl.BlockSpec((1, C, l, C, 2, n),
+            pl.BlockSpec((U, C, l, C, 2, n),
                          lambda i, j: (j, 0 * j, 0 * j, 0 * j, 0 * j, 0 * j)),
         ],
         out_specs=pl.BlockSpec((bb, C, 2, n),
