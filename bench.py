@@ -446,7 +446,7 @@ def bench_ckks_boot():
         import hashlib
         import pickle
         cfg = (n, B, L, K, r, deg, float(delta0), float(delta_w),
-               arcsin_terms, base, h, 4)        # trailing int: cache rev
+               arcsin_terms, base, h, 5)        # trailing int: cache rev
         tag = hashlib.sha1(repr(cfg).encode()).hexdigest()[:16]
         cache_f = f"/root/repo/_build/bootkeys_{tag}.pkl"
         # SEEDED key cache (r4): only the b planes + the PRNG master key are
@@ -458,10 +458,11 @@ def bench_ckks_boot():
                 packed, static, pout = pickle.load(fh)
             packed = jax.tree.map(jnp.asarray, packed)
         else:
-            arrays, static, pout = BB.precompute_keys(
+            arrays, static, pout, em_src = BB.precompute_keys(
                 ks[2], param, sk, delta0, batch=(B,), K=K, r=r, deg=deg,
-                delta_w=delta_w, arcsin_terms=arcsin_terms, base_limbs=base)
-            packed = BB.pack_seeded(arrays, ks[2], param)
+                delta_w=delta_w, arcsin_terms=arcsin_terms, base_limbs=base,
+                with_em_src=True)
+            packed = BB.pack_seeded(arrays, ks[2], param, em_src=em_src)
             del arrays
             try:
                 with open(cache_f, "wb") as fh:

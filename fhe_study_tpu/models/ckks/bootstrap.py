@@ -145,7 +145,7 @@ class FrozenKeys:
         return self._rot
 
 
-def pack_seeded(arrays, master_key, param_boot):
+def pack_seeded(arrays, master_key, param_boot, em_src=None):
     """Seeded-`a` key compression of a frozen bootstrap key set.
 
     Every HybridKSK mask `a` is a pure function of its deterministic PRNG
@@ -158,8 +158,14 @@ def pack_seeded(arrays, master_key, param_boot):
     import numpy as np
     rlk = {L: k.b for L, k in arrays["rlk"].items()}
     rot = {kk: k.b for kk, k in arrays["rot"].items()}
-    return {"rlk": rlk, "rot": rot, "em": arrays["em"],
-            "seed": np.asarray(master_key)}
+    out = {"rlk": rlk, "rot": rot, "seed": np.asarray(master_key)}
+    if em_src is not None:
+        # ship the compact i64 sources (~L x smaller); expand_seeded
+        # rebuilds each em tensor bit-exactly on-device (ev.realize_em)
+        out["em_src"] = em_src
+    else:
+        out["em"] = arrays["em"]
+    return out
 
 
 def expand_seeded(packed, param_boot):
@@ -187,7 +193,14 @@ def expand_seeded(packed, param_boot):
         ka = hybrid_ks.seed_of(_rot_subkey(master, L, g))
         rot[(L, g)] = hybrid_ks.HybridKSK(
             b=b, a=hybrid_ks.expand_a(pL_of(L), ka, K))
-    return {"rlk": rlk, "rot": rot, "em": packed["em"]}
+    if "em_src" in packed:
+        # int() coercion: generic pytree loaders (tree.map(jnp.asarray) /
+        # device_put) may have turned the L metadata into device scalars
+        em = {k: ev.realize_em(pL_of(int(Lp)), m)
+              for k, (m, Lp, _pl) in packed["em_src"].items()}
+    else:
+        em = packed["em"]
+    return {"rlk": rlk, "rot": rot, "em": em}
 
 
 def mod_raise(param_boot, ct_l1):
@@ -452,7 +465,7 @@ def precompute_keys(key, param_boot, sk, delta0: float, *, batch=(),
                     K: int = 7, r: int = 3, deg: int = 24,
                     delta_w: float = 2.0 ** 30, double: bool | None = None,
                     arcsin_terms: int = 2, s2c_drops: int | None = None,
-                    base_limbs: int = 1):
+                    base_limbs: int = 1, with_em_src: bool = False):
     """Production key builder: derive the COMPLETE bootstrap key set
     (per-level hybrid relin + rotation keys, C2S/S2C diagonal plans) from
     the secret key once, and return (arrays, static, pout) with NO secret
@@ -477,7 +490,16 @@ def precompute_keys(key, param_boot, sk, delta0: float, *, batch=(),
 
     jax.eval_shape(probe, spec, spec)
     arrays, static = freeze(keys)
+    em_src = None
+    if with_em_src:
+        # compact integer sources of the plan diagonal tensors (ev.realize_em
+        # rebuilds em bit-exactly on-device): ~L x smaller than em — the
+        # seeded key pack ships these instead of the 100s-of-MB em tensors
+        em_src = {k: (p.src_m, p.src_L, p.pt_levels)
+                  for k, p in keys._plans.items()}
     del keys   # BootstrapKeys (and its sk reference) does not escape
+    if em_src is not None:
+        return arrays, static, cell["pout"], em_src
     return arrays, static, cell["pout"]
 
 

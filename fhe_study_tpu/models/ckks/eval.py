@@ -277,17 +277,47 @@ def _build_rmap_plan(param, maps, n1, pt_levels: int = 1):
     # L=38 — measured OOM on a 125 GB host).  Only the final u32 em tensor
     # is kept; everything transient stays <= ~chunk-sized.
     chunk = max(1, (1 << 24) // n)                       # ~16M coeffs/slab
-    parts = []
+    parts, m_parts = [], []
     for i0 in range(0, V.shape[0], chunk):
         Vc = V[i0: i0 + chunk]
         m = encoder_device.encode(jnp.asarray(Vc.real), jnp.asarray(Vc.imag),
                                   n, scale_pt)           # [c, n] i64
+        m_parts.append(np.asarray(m))
         res = _bfv._to_residues(m, param.qs)             # [L, c, n]
         parts.append(modops32.to_mont(
             ntt_multi(res.astype(jnp.uint32), param.qs),
             qv32, nqv32, r2v32))
     em = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
-    return RmapPlan(n1, need_d, need_e, plan_maps, em, pt_levels)
+    plan = RmapPlan(n1, need_d, need_e, plan_maps, em, pt_levels)
+    # compact host-side source of em: the f64-sensitive encode is done (and
+    # exact); `realize_em` re-derives em BIT-EXACTLY from m via pure integer
+    # ops on ANY backend.  m is ~L x smaller than em — seeded-key packing
+    # ships m and rebuilds em on-chip (upload is the ckks_boot bottleneck).
+    plan.src_m = (np.concatenate(m_parts) if len(m_parts) > 1
+                  else m_parts[0])                       # [num+1, n] i64
+    plan.src_L = param.L
+    return plan
+
+
+def realize_em(param, m):
+    """em from its compact integer source (see _build_rmap_plan): residue
+    split + forward NTT + Montgomery lift — exact integer ops, bit-equal to
+    the build-time em on every backend.  param must carry the plan's own
+    limb count (src_L)."""
+    from .. import bfv_rns as _bfv
+    from ...ops import modops32
+    n = m.shape[-1]
+    qv32, nqv32, r2v32 = (jnp.asarray(c)
+                          for c in modops32.consts(param.qs, 3))
+    chunk = max(1, (1 << 24) // n)
+    parts = []
+    mj = jnp.asarray(m)
+    for i0 in range(0, m.shape[0], chunk):
+        res = _bfv._to_residues(mj[i0: i0 + chunk], param.qs)
+        parts.append(modops32.to_mont(
+            ntt_multi(res.astype(jnp.uint32), param.qs),
+            qv32, nqv32, r2v32))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
 def apply_rmap_plan(param, rk: RotKeys, ct, plan: RmapPlan):

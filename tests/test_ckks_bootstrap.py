@@ -158,13 +158,19 @@ def test_seeded_key_pack_expand_bit_exact():
     param = C.Param(n=n, L=L, delta=delta0)
     ks = prng.split(jax.random.PRNGKey(5), 3)
     sk, pk = C.new_key(ks[0], param)
-    arrays, static, pout = B.precompute_keys(ks[2], param, sk, delta0)
-    packed = B.pack_seeded(arrays, ks[2], param)
-    # packed is really smaller: no `a` planes anywhere
+    arrays, static, pout, em_src = B.precompute_keys(ks[2], param, sk,
+                                                     delta0,
+                                                     with_em_src=True)
+    packed = B.pack_seeded(arrays, ks[2], param, em_src=em_src)
+    # packed is really smaller: no `a` planes, em as compact i64 sources
     full_b = sum(x.nbytes for x in jax.tree.leaves(arrays))
     pack_b = sum(np.asarray(x).nbytes for x in jax.tree.leaves(packed))
     assert pack_b < 0.62 * full_b, (pack_b, full_b)
     out = B.expand_seeded(packed, param)
+    # em rebuilt from sources is bit-equal to the build-time em
+    for k, em in arrays["em"].items():
+        np.testing.assert_array_equal(np.asarray(out["em"][k]),
+                                      np.asarray(em))
     for Lk, k in arrays["rlk"].items():
         np.testing.assert_array_equal(np.asarray(out["rlk"][Lk].a),
                                       np.asarray(k.a))
