@@ -705,8 +705,12 @@ def main():
     # tfhe/tfhe_prod ~2-3 each -> ~23 min total + ~1.5 min startup < the
     # driver's ~30-min window
     total = int(os.environ.get("FHE_BENCH_TOTAL_BUDGET", 1400))
-    # per-mode ceilings (compile-heavy modes need more; measured r02-r04)
-    cap = {"ntt": 150, "bfv": 330, "bfv_linear": 150, "ckks": 180,
+    # per-mode ceilings (compile-heavy modes need more; measured r02-r04).
+    # NB a mode whose FIRST compile exceeds its slice can never populate
+    # the persistent cache (the alarm kills the wait before the cache
+    # write) — builders must pre-warm new graphs with FHE_BENCH_KIND=<mode>
+    # standalone runs, which have no alarm.
+    cap = {"ntt": 200, "bfv": 330, "bfv_linear": 150, "ckks": 180,
            "tfhe": 200, "tfhe_prod": 200, "ckks_boot": 520}
     t_start = time.monotonic()
     headline = None

@@ -299,24 +299,40 @@ def _build_rmap_plan(param, maps, n1, pt_levels: int = 1):
     return plan
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _realize_em_jit(qs: tuple):
+    from .. import bfv_rns as _bfv
+    from ...ops import modops32
+
+    def f(m):
+        qv32, nqv32, r2v32 = (jnp.asarray(c)
+                              for c in modops32.consts(qs, 3))
+        res = _bfv._to_residues(m, qs)
+        return modops32.to_mont(ntt_multi(res.astype(jnp.uint32), qs),
+                                qv32, nqv32, r2v32)
+
+    return jax.jit(f)
+
+
 def realize_em(param, m):
     """em from its compact integer source (see _build_rmap_plan): residue
     split + forward NTT + Montgomery lift — exact integer ops, bit-equal to
     the build-time em on every backend.  param must carry the plan's own
-    limb count (src_L)."""
-    from .. import bfv_rns as _bfv
-    from ...ops import modops32
+    limb count (src_L).
+
+    Chunked + jitted: the [L, chunk, n] u64 residue intermediates cap at
+    ~0.7 GB (a whole-plan chunk OOM'd 16 GB HBM at n=2^11, L=39), and one
+    jit per (qs, chunk-shape) keeps remote dispatch off the eager path."""
     n = m.shape[-1]
-    qv32, nqv32, r2v32 = (jnp.asarray(c)
-                          for c in modops32.consts(param.qs, 3))
-    chunk = max(1, (1 << 24) // n)
+    chunk = max(1, (1 << 21) // n)
+    f = _realize_em_jit(param.qs)
     parts = []
     mj = jnp.asarray(m)
     for i0 in range(0, m.shape[0], chunk):
-        res = _bfv._to_residues(mj[i0: i0 + chunk], param.qs)
-        parts.append(modops32.to_mont(
-            ntt_multi(res.astype(jnp.uint32), param.qs),
-            qv32, nqv32, r2v32))
+        parts.append(f(mj[i0: i0 + chunk]))
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
 
 
