@@ -713,7 +713,7 @@ def main():
     # write) — builders must pre-warm new graphs with FHE_BENCH_KIND=<mode>
     # standalone runs, which have no alarm.
     cap = {"ntt": 280, "bfv": 330, "bfv_linear": 150, "ckks": 180,
-           "tfhe": 200, "tfhe_prod": 200, "ckks_boot": 520}
+           "tfhe": 200, "tfhe_prod": 200, "ckks_boot": 560}
     # initialize the device backend BEFORE the mode loop: the first
     # jax.devices() pays the axon tunnel handshake (~30-60 s), which must
     # not be charged against the first mode's alarm slice
@@ -748,6 +748,12 @@ def main():
                   flush=True)
         finally:
             signal.alarm(0)
+            # release the mode's device buffers promptly: lingering arrays
+            # from earlier modes pressure the HBM allocator during
+            # ckks_boot's multi-GB upload (measured in-run slowdowns vs
+            # the same mode standalone)
+            import gc
+            gc.collect()
         if headline is not None and name != "bfv":
             _emit(headline)   # crash-proof: final line is always the headline
     if headline is not None:
