@@ -110,19 +110,26 @@ def bench_ntt():
     # The ceiling is a HARDWARE constant — measured once per (n, B) and
     # disk-cached so a flaky tunnel/compile can't starve the mode's slice
     # (FHE_FORCE_CEILING=1 re-measures).
-    ceil_f = f"/root/repo/_build/vpu_ceiling_n{n}_B{B}.json"
+    # keyed by device_kind too: a pool serving a different TPU generation
+    # must not reuse another chip's "hardware constant" (advisor r4, low)
+    kind_tag = "".join(ch if ch.isalnum() else "-"
+                       for ch in getattr(dev, "device_kind", "unknown"))
+    ceil_f = f"/root/repo/_build/vpu_ceiling_{kind_tag}_n{n}_B{B}.json"
     ceil = None
     if (os.path.exists(ceil_f)
             and os.environ.get("FHE_FORCE_CEILING", "0") != "1"):
         try:
             with open(ceil_f) as fh:
                 ceil = json.load(fh)
+            if ceil.get("device_kind", kind_tag) != kind_tag:
+                ceil = None
         except (OSError, ValueError):
             ceil = None
     if ceil is None:
         from fhe_study_tpu.ops.vpu_bench import ntt_vmem_ceiling
         ceil = ntt_vmem_ceiling(n=n, B=B, reps=2048, iters=3,
                                 device=dev)   # interpret auto: off-TPU smoke
+        ceil["device_kind"] = kind_tag
         try:
             with open(ceil_f, "w") as fh:
                 json.dump(ceil, fh)
@@ -446,7 +453,10 @@ def bench_ckks_boot():
         import hashlib
         import pickle
         cfg = (n, B, L, K, r, deg, float(delta0), float(delta_w),
-               arcsin_terms, base, h, 5)        # trailing int: cache rev
+               arcsin_terms, base, h, 6)        # trailing int: cache rev
+        # rev 6: a-seed pack format + collision-free _rot_subkey schedule
+        # (advisor r4 high/medium) — r<=5 caches hold a master key and the
+        # old rotation-key PRNG schedule; never load them
         tag = hashlib.sha1(repr(cfg).encode()).hexdigest()[:16]
         cache_f = f"/root/repo/_build/bootkeys_{tag}.pkl"
         # SEEDED key cache (r4): only the b planes + the PRNG master key are

@@ -67,7 +67,13 @@ def _rlk_subkey(master, L: int):
 
 
 def _rot_subkey(master, L: int, g: int):
-    return jax.random.fold_in(master, 200000 + L * 8192 + g)
+    # TWO folds, not one packed tag: Galois elements range over [1, 2n), so
+    # any single-int packing `L*C + g` collides for n > C/2 — two (L, g)
+    # pairs would then share a PRNG subkey, i.e. two rotation keys with
+    # identical (a, e); b1-b2 reveals g*(sigma_g1(s)-sigma_g2(s))
+    # NOISELESSLY (advisor r4, medium).  Chained fold_ins are injective in
+    # (L, g) and cannot meet the single-fold _rlk_subkey chain.
+    return jax.random.fold_in(jax.random.fold_in(master, 200000 + L), g)
 
 
 class _LazyRlk(dict):
@@ -150,15 +156,29 @@ def pack_seeded(arrays, master_key, param_boot, em_src=None):
 
     Every HybridKSK mask `a` is a pure function of its deterministic PRNG
     subkey (hybrid_ks.seed_of + the _rlk_subkey/_rot_subkey schedule), so
-    the packed pytree keeps only the `b` planes + the master key — HALF
+    the packed pytree keeps only the `b` planes + PER-KSK a-subkeys — HALF
     the bytes on disk and over the wire.  expand_seeded() regenerates the
     `a` planes bit-exactly on whatever device the packed pytree lives on.
     (Production feature beyond the reference — it never serializes keys
-    at all; SURVEY.md §5 checkpoint row.)"""
+    at all; SURVEY.md §5 checkpoint row.)
+
+    SECURITY (advisor r4, high): the pack must NOT contain the master key
+    or any per-KSK subkey ABOVE the a/e split — split(fold_in(master,
+    tag)) yields the error subkey k_e alongside k_a, and a holder of k_e
+    can regenerate every error tensor e and solve b = g*s_old - a*s_new +
+    e (a noiseless linear system) for the SECRET KEY.  Only the per-KSK
+    a-seeds (hybrid_ks.seed_of results — the k_a half, a few bytes each,
+    not invertible to k_e) are stored."""
     import numpy as np
-    rlk = {L: k.b for L, k in arrays["rlk"].items()}
-    rot = {kk: k.b for kk, k in arrays["rot"].items()}
-    out = {"rlk": rlk, "rot": rot, "seed": np.asarray(master_key)}
+
+    def a_seed(sub):
+        return np.asarray(hybrid_ks.seed_of(sub))
+
+    rlk = {L: (k.b, a_seed(_rlk_subkey(master_key, L)))
+           for L, k in arrays["rlk"].items()}
+    rot = {kk: (k.b, a_seed(_rot_subkey(master_key, *kk)))
+           for kk, k in arrays["rot"].items()}
+    out = {"rlk": rlk, "rot": rot}
     if em_src is not None:
         # ship the compact i64 sources (~L x smaller); expand_seeded
         # rebuilds each em tensor bit-exactly on-device (ev.realize_em)
@@ -173,8 +193,8 @@ def expand_seeded(packed, param_boot):
 
     One small jit per distinct level shape (persistently compile-cached);
     bit-exact vs the originally built keys (threefry + integer NTTs are
-    backend-deterministic)."""
-    master = jnp.asarray(packed["seed"])
+    backend-deterministic).  Consumes the per-KSK a-seeds directly — the
+    packed artifact carries no master key (see pack_seeded SECURITY)."""
     P = ckks_rns.Param
 
     def pL_of(L):
@@ -182,17 +202,15 @@ def expand_seeded(packed, param_boot):
                  prime_bits=param_boot.prime_bits)
 
     rlk = {}
-    for L, b in packed["rlk"].items():
+    for L, (b, ka) in packed["rlk"].items():
         K = int(b.shape[1]) - L
-        ka = hybrid_ks.seed_of(_rlk_subkey(master, L))
         rlk[L] = hybrid_ks.HybridKSK(
-            b=b, a=hybrid_ks.expand_a(pL_of(L), ka, K))
+            b=b, a=hybrid_ks.expand_a(pL_of(L), jnp.asarray(ka), K))
     rot = {}
-    for (L, g), b in packed["rot"].items():
+    for (L, g), (b, ka) in packed["rot"].items():
         K = int(b.shape[1]) - L
-        ka = hybrid_ks.seed_of(_rot_subkey(master, L, g))
         rot[(L, g)] = hybrid_ks.HybridKSK(
-            b=b, a=hybrid_ks.expand_a(pL_of(L), ka, K))
+            b=b, a=hybrid_ks.expand_a(pL_of(L), jnp.asarray(ka), K))
     if "em_src" in packed:
         # int() coercion: generic pytree loaders (tree.map(jnp.asarray) /
         # device_put) may have turned the L metadata into device scalars

@@ -188,8 +188,8 @@ def ntt_vmem_ceiling(q: int | None = None, n: int = 1 << 14, *,
         x = jax.device_put(x, device)
     # same block size policy as the production multi-prime kernel
     block_b = max(1, min(B, (1 << 20) // (n * 4)))
-    while B % block_b or (block_b % 8 and block_b != B):
-        block_b -= 1
+    while block_b > 1 and (B % block_b or (block_b % 8 and block_b != B)):
+        block_b -= 1                 # block_b=1 always divides B: no 0 exit
     tw = _tw_dev((q,), n, "fwd")                # [1, 2, logn, n] interned
     kern = partial(_ntt_repeat_kernel, q=q, n=n, reps=reps)
     call = pl.pallas_call(

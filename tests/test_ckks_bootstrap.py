@@ -166,6 +166,26 @@ def test_seeded_key_pack_expand_bit_exact():
     full_b = sum(x.nbytes for x in jax.tree.leaves(arrays))
     pack_b = sum(np.asarray(x).nbytes for x in jax.tree.leaves(packed))
     assert pack_b < 0.62 * full_b, (pack_b, full_b)
+    # SECURITY (advisor r4 high): the pack must NOT carry the master key or
+    # any subkey above the a/e split — only the k_a halves.  Every stored
+    # seed must be a seed_of() result, none may equal the master or a raw
+    # _rlk_subkey/_rot_subkey (from which k_e = split(.,2)[1] regenerates
+    # every error tensor -> full key recovery).
+    from fhe_study_tpu.models import hybrid_ks
+    master = np.asarray(ks[2])
+    forbidden = {master.tobytes()}
+    for Lk in arrays["rlk"]:
+        forbidden.add(np.asarray(B._rlk_subkey(ks[2], Lk)).tobytes())
+    for (Lk, g) in arrays["rot"]:
+        forbidden.add(np.asarray(B._rot_subkey(ks[2], Lk, g)).tobytes())
+    stored = ([np.asarray(s).tobytes() for _, s in packed["rlk"].values()]
+              + [np.asarray(s).tobytes() for _, s in packed["rot"].values()])
+    assert not (set(stored) & forbidden), "pack leaks a pre-split subkey"
+    # collision-free rot schedule (advisor r4 medium): distinct (L, g) must
+    # yield distinct subkeys even when L*8192+g would alias (g up to 2n)
+    aliases = {np.asarray(B._rot_subkey(ks[2], Lx, g)).tobytes()
+               for Lx in range(1, 20) for g in (1, 3, 5, 8192 + 3)}
+    assert len(aliases) == 19 * 4, "rot subkey collision"
     out = B.expand_seeded(packed, param)
     # em rebuilt from sources is bit-equal to the build-time em
     for k, em in arrays["em"].items():
