@@ -209,6 +209,39 @@ def relinearize(param: Param, rlk: RLK, c0, c1, c2, fast: bool = False) -> RLWE:
     return RLWE(rq.add(c0, r0, q), rq.add(c1, r1, q))
 
 
+def relinearize_f64(param: Param, rlk: RLK, c0, c1, c2) -> RLWE:
+    """The reference's f64 relinearization variant
+    (bfv/src/lib.rs:227-250 — DEAD there; relinearize_204 is the used one).
+
+    Semantic: fold c2·rlk_i negacyclically over Z FIRST (the reference
+    multiplies in R = Z[X]/(X^n+1) via to_r()), THEN round each folded
+    coefficient / p in f64 — the opposite fold/round order of
+    relinearize_204 above, which rounds the unreduced 2n-1 coefficients
+    before folding (per-coefficient results can differ by the fold of
+    rounding residues).  Intentional divergence (COMPONENTS.md): the
+    reference computes the product in i128 and CASTS to i64
+    (ring_n.rs:269-279) — coefficients beyond 2^63 silently wrap there; we
+    implement the intended exact value via the same two-limb split as
+    `relinearize`, so this port is exact wherever the i128 interim is
+    (always), not just below the reference's wrap point."""
+    q, n, p = param.ring.q, param.ring.n, param.p
+    w = 32
+    assert param.pq < (1 << (2 * w))
+    c2i = c2.astype(jnp.int64)
+
+    def scaled(r):
+        hi = (r >> U64(w)).astype(jnp.int64)
+        lo = (r & U64((1 << w) - 1)).astype(jnp.int64)
+        A = rn.naive_poly_mul(c2i, hi)       # folded, exact i64
+        B = rn.naive_poly_mul(c2i, lo)
+        v = A.astype(jnp.float64) * (float(1 << w) / float(p)) \
+            + B.astype(jnp.float64) / float(p)
+        return rq.from_i64(round_half_away(v).astype(jnp.int64), q, n)
+
+    return RLWE(rq.add(c0, scaled(rlk.r0), q),
+                rq.add(c1, scaled(rlk.r1), q))
+
+
 def mul(param: Param, rlk: RLK, a: RLWE, b: RLWE, fast: bool = False) -> RLWE:
     c0, c1, c2 = tensor(param, a, b, fast=fast)
     return relinearize(param, rlk, c0, c1, c2, fast=fast)

@@ -122,13 +122,87 @@ def powmod(a, e: int, q: int):
 
 
 def invmod_prime(a, q: int):
-    """a^-1 mod q by Fermat (q prime)."""
+    """a^-1 mod q by Fermat (q prime — the library's hot path; every NTT/RNS
+    modulus is prime).  For composite q use invmod (reference-parity egcd
+    semantics, zq.rs:113-130)."""
     return powmod(a, q - 2, q)
+
+
+def _binary_inv_odd(a, m: int):
+    """Vectorized a^{-1} mod odd m via binary extended gcd, static iteration
+    bound (jittable: no data-dependent control flow).  a coprime to m."""
+    assert m % 2 == 1 and 1 <= m < (1 << 63)
+    u = u64(a) % U64(m)
+    v = jnp.full_like(u, U64(m))
+    x1 = jnp.ones_like(u)
+    x2 = jnp.zeros_like(u)
+    one, mm = U64(1), U64(m)
+
+    def body(_, st):
+        u, v, x1, x2 = st
+        u_even = (u & one) == 0
+        v_even = jnp.logical_and(~u_even, (v & one) == 0)
+        sub_u = jnp.logical_and(~u_even, jnp.logical_and(~v_even, u >= v))
+        sub_v = jnp.logical_and(~u_even, jnp.logical_and(~v_even, u < v))
+        # halving step: x/2 if even else (x+m)/2 (exact: x+m < 2^64);
+        # all updates computed from the OLD state, then assigned together
+        h1 = jnp.where((x1 & one) == 0, x1 >> one, (x1 + mm) >> one)
+        h2 = jnp.where((x2 & one) == 0, x2 >> one, (x2 + mm) >> one)
+        return (jnp.where(u_even, u >> one, jnp.where(sub_u, u - v, u)),
+                jnp.where(v_even, v >> one, jnp.where(sub_v, v - u, v)),
+                jnp.where(u_even, h1,
+                          jnp.where(sub_u, submod(x1, x2, m), x1)),
+                jnp.where(v_even, h2,
+                          jnp.where(sub_v, submod(x2, x1, m), x2)))
+
+    # each iteration either halves u or v, or subtracts (making one even):
+    # bitlen(u)+bitlen(v) falls by >=1 every 2 iterations -> 4*bitlen bound
+    import jax
+    u, v, x1, x2 = jax.lax.fori_loop(0, 4 * m.bit_length() + 4, body,
+                                     (u, v, x1, x2))
+    return jnp.where(u == one, x1, x2)
+
+
+def invmod(a, q: int):
+    """a^{-1} mod q for ANY modulus (a coprime to q) — parity with the
+    reference's egcd-based Zq::inv (zq.rs:113-130), which is valid for
+    composite q; invmod_prime (Fermat) is the prime-q fast path.
+
+    Vectorized/jittable: binary xgcd with a static iteration bound for the
+    odd part of q, Newton (Hensel) lifting for the 2-power part, CRT-combined
+    with host constants.  Non-coprime inputs yield unspecified output (the
+    reference panics there; inside jit there is no data-dependent panic)."""
+    assert 1 < q < (1 << 63)
+    k = (q & -q).bit_length() - 1          # q = 2^k * m, m odd
+    m = q >> k
+    if k == 0:
+        return _binary_inv_odd(a, q)
+    # inverse mod 2^k: x0 = a satisfies a*x0 == 1 (mod 8); five Newton
+    # doublings x <- x*(2 - a*x) reach 2^96 >= 2^64 >= 2^k (wrapping u64)
+    mask = U64((1 << k) - 1)
+    av = u64(a)
+    x = av
+    for _ in range(5):
+        x = x * (U64(2) - av * x)          # wrapping: correct mod 2^64
+    i1 = x & mask
+    if m == 1:
+        return i1
+    i2 = _binary_inv_odd(a, m)
+    # CRT: x == i2 (mod m), x == i1 (mod 2^k):  x = i2 + m * t,
+    # t = (i1 - i2) * m^{-1} mod 2^k  (all < q < 2^63: exact u64)
+    minv2k = pow(m, -1, 1 << k)
+    t = ((i1 - i2) * U64(minv2k)) & mask
+    return i2 + U64(m) * t
 
 
 def divmod_prime(a, b, q: int):
     """a / b = a * b^-1 mod q (q prime; reference zq.rs:329-337)."""
     return mulmod(a, invmod_prime(b, q), q)
+
+
+def divmod_any(a, b, q: int):
+    """a / b mod q for any modulus with b coprime to q (egcd-parity div)."""
+    return mulmod(a, invmod(b, q), q)
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,26 @@ def test_mul_relin():
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(want))
 
 
+def test_mul_relin_f64_variant():
+    """The reference's dead f64 relinearization (bfv/src/lib.rs:227-250):
+    fold-then-round order; decrypts to the same product as relinearize."""
+    param = bfv.Param(RingParam(Q, 16), 2, Q * Q)
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4, k5, k6 = prng.split(key, 6)
+    B = 64
+    sk, pk = bfv.new_key(k1, param, batch=(B,))
+    rlk = bfv.rlk_key(k2, param, sk, batch=(B,))
+    m1 = _msg(k3, param, (B,))
+    m2 = _msg(k4, param, (B,))
+    c1 = bfv.encrypt(k5, param, pk, m1, batch=(B,))
+    c2 = bfv.encrypt(k6, param, pk, m2, batch=(B,))
+    t0, t1, t2 = bfv.tensor(param, c1, c2)
+    c3 = bfv.relinearize_f64(param, rlk, t0, t1, t2)
+    rec = bfv.decrypt(param, sk, c3)
+    want = _naive_pt_mul(m1, m2, param.t, param.ring.n)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(want))
+
+
 def test_mul_relin_fast_path():
     """Device (CRT-NTT) path decrypts correctly too (n=64 to engage NTT)."""
     param = bfv.Param(RingParam(Q, 64), 2, Q * Q)

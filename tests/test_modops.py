@@ -1,6 +1,7 @@
 """Z_q scalar-op parity tests (reference arith/src/zq.rs tests)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from fhe_study_tpu.ops import modops
@@ -25,6 +26,25 @@ def test_inv():
         for v in (1, 2, 3, q - 1, q // 2):
             inv = modops.invmod_prime(jnp.uint64(v), q)
             assert int(modops.mulmod(jnp.uint64(v), inv, q)) == 1
+
+
+def test_inv_composite():
+    """invmod: reference-parity egcd semantics (zq.rs:113-130) — valid for
+    ANY modulus with gcd(v, q)=1, not just primes; vectorized + jittable."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    for q in (15, 21, 3 ** 5 * 7 * 11, 2 ** 16, 12, 2 ** 20 * 9,
+              65537, (1 << 31) - 1, 6700417 * 641):
+        vs = [v for v in (1, 2, 3, 5, q - 1, q // 2, 7, 11, 97)
+              if 0 < v < q and np.gcd(v, q) == 1]
+        vs += [int(v) for v in rng.integers(1, q, 32) if np.gcd(int(v), q) == 1]
+        arr = jnp.asarray(np.array(vs, np.uint64))
+        out = jax.jit(lambda a: modops.invmod(a, q))(arr)
+        want = np.array([pow(v, -1, q) for v in vs], np.uint64)
+        np.testing.assert_array_equal(np.asarray(out), want)
+        # and division built on it
+        d = modops.divmod_any(jnp.uint64(1) % jnp.uint64(q), arr, q)
+        np.testing.assert_array_equal(np.asarray(d), want)
 
 
 def test_decompose_roundtrip():
