@@ -154,3 +154,29 @@ def test_tn_mod_switch():
     # torus.rs:58-66: right shift by 64 - log2(q2)
     v = jnp.uint64(0xF000_0000_0000_0000)
     assert int(tn.mod_switch(v, 1024)) == 0xF000_0000_0000_0000 >> 54
+
+
+def test_matrix_ops_match_numpy():
+    """Matrix<Zq> add / mul / transpose / scalar-mul over Z_q (reference
+    matrix.rs:155-188) against numpy object-int arithmetic."""
+    import numpy as np
+    from fhe_study_tpu.arith import rq
+    from fhe_study_tpu.ops import modops
+    q = 65537
+    rng = np.random.default_rng(0)
+    A = rng.integers(0, q, (3, 4), dtype=np.uint64)
+    B = rng.integers(0, q, (4, 5), dtype=np.uint64)
+    v = rng.integers(0, q, (4,), dtype=np.uint64)
+    # add (elementwise over Zq) + scalar mul
+    got_add = modops.addmod(jnp.asarray(A), jnp.asarray(A[::-1].copy()), q)
+    np.testing.assert_array_equal(np.asarray(got_add), (A + A[::-1]) % q)
+    got_smul = modops.mulmod(jnp.asarray(A), jnp.uint64(12345), q)
+    np.testing.assert_array_equal(np.asarray(got_smul), (A * 12345) % q)
+    # mat-vec / mat-mat / transpose
+    got_mv = rq.matrix_vec_product(jnp.asarray(A), jnp.asarray(v), q)
+    np.testing.assert_array_equal(np.asarray(got_mv),
+                                  (A.astype(object) @ v.astype(object)) % q)
+    got_mm = rq.matrix_mul(jnp.asarray(A), jnp.asarray(B), q)
+    np.testing.assert_array_equal(np.asarray(got_mm),
+                                  (A.astype(object) @ B.astype(object)) % q)
+    np.testing.assert_array_equal(np.asarray(rq.matrix_transpose(jnp.asarray(A))), A.T)
