@@ -58,6 +58,52 @@ def _emit(d):
     return d
 
 
+def _note(msg):
+    """Phase timestamp on stderr — makes a killed mode's post-mortem say
+    WHERE the slice went (r2-r4 each lost scorecard lines to opaque
+    in-slice timeouts)."""
+    import sys
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = time.monotonic()
+
+
+def _setup_cached(tag: str, cfg: tuple, build):
+    """Disk-cache a mode's host-side setup pytree (numpy leaves).
+
+    The r4 scorecard lost tfhe_prod to CPU keygen + upload overrunning its
+    alarm slice; every mode's setup is deterministic (fixed PRNG keys), so
+    the scorecard run should pay it once per config EVER, not once per
+    run.  Keys here are bench artifacts (PRNGKey(0), public code) — no
+    secret-material concern.  Falls back to build() on any cache problem."""
+    import hashlib
+    import pickle
+    import numpy as np
+    tag_h = hashlib.sha1(repr(cfg).encode()).hexdigest()[:16]
+    f = f"/root/repo/_build/setup_{tag}_{tag_h}.pkl"
+    if os.path.exists(f):
+        try:
+            with open(f, "rb") as fh:
+                out = pickle.load(fh)
+            _note(f"{tag}: setup loaded from cache")
+            return out
+        except Exception:
+            pass
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        out = build()
+        out = jax.tree.map(np.asarray, out)
+    try:
+        with open(f, "wb") as fh:
+            pickle.dump(out, fh, protocol=4)
+    except OSError:
+        pass
+    _note(f"{tag}: setup built (cached for next run)")
+    return out
+
+
 def bench_ntt():
     """NTT kernel roofline (BASELINE.md:33-34): fused multi-prime forward
     transform throughput at the headline shape, vs the HBM speed-of-light of
@@ -170,7 +216,8 @@ def bench_tfhe():
     key = jax.random.PRNGKey(0)
     ks = prng.split(key, 3)
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+
+    def build():
         table = bootstrap.compute_lookup_table_standard(param)
         s, _ = tglwe.new_key(ks[0], param)
         s_flat = tglwe.sk_to_tlwe(s)
@@ -180,11 +227,19 @@ def bench_tfhe():
         m = jnp.arange(B, dtype=jnp.uint64) % jnp.uint64(t // 2)
         c = tlwe.encrypt_uniform(ks[2], param.lwe(), s_flat,
                                  tlwe.encode(param, m), batch=(B,))
-    with jax.default_device(cpu):
         btk_evals = bootstrap.precompute_btk_evals(param, btk)
+        return dict(table=table, btk=btk, evals=btk_evals, c=c, m=m,
+                    s_out=s_out)
+
+    st = _setup_cached("tfhe", (n, t, B, beta, l, beta_ks, l_ks, 1), build)
+    table, btk, btk_evals, c, m, s_out = (st["table"], st["btk"],
+                                          st["evals"], st["c"], st["m"],
+                                          st["s_out"])
     dev = jax.devices()[0]
     table, btk, btk_evals, c = jax.tree.map(
-        lambda x: jax.device_put(x, dev), (table, btk, btk_evals, c))
+        lambda x: jax.device_put(jnp.asarray(x), dev),
+        (table, btk, btk_evals, c))
+    _note("tfhe: device upload done")
 
     # NB: keys/tables passed as ARGUMENTS — closed-over arrays become HLO
     # constants and blow up the remote-compile request (HTTP 413)
@@ -243,7 +298,8 @@ def bench_tfhe_prod():
     key = jax.random.PRNGKey(0)
     ks = prng.split(key, 3)
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+
+    def build():
         table = bootstrap.compute_lookup_table_standard(param)
         s, _ = tglwe.new_key(ks[0], param)
         s_flat = tglwe.sk_to_tlwe(s)
@@ -257,9 +313,19 @@ def bench_tfhe_prod():
             param, bootstrap.BootstrappingKey(
                 btk_a=sbtk.btk_a, btk_b=sbtk.btk_b,
                 ksk_a=sbtk.ksk_a, ksk_b=sbtk.ksk_b))
+        return dict(table=table, sbtk=sbtk, evals=btk_evals, c=c, m=m,
+                    s_flat=s_flat)
+
+    st = _setup_cached("tfhe_prod",
+                       (n, n_lwe, t, B, beta, l, beta_ks, l_ks, 1), build)
+    table, sbtk, btk_evals, c, m, s_flat = (st["table"], st["sbtk"],
+                                            st["evals"], st["c"], st["m"],
+                                            st["s_flat"])
     dev = jax.devices()[0]
     table, sbtk, btk_evals, c = jax.tree.map(
-        lambda x: jax.device_put(x, dev), (table, sbtk, btk_evals, c))
+        lambda x: jax.device_put(jnp.asarray(x), dev),
+        (table, sbtk, btk_evals, c))
+    _note("tfhe_prod: device upload done")
 
     def _bs(ca, cb, sbtk_, table_, ev_):
         return bootstrap.bootstrap_short(
@@ -292,7 +358,13 @@ def bench_tfhe_prod():
 
 
 def bench_bfv_linear():
-    """BASELINE config 2: encrypt/add/pt-mul, N=2^12, 1K-ciphertext batch."""
+    """BASELINE config 2: encrypt/add/pt-mul, N=2^12, 1K-ciphertext batch.
+
+    Default path (r5): eval-resident chained pipeline — plaintext held in
+    NTT form (pt_to_evals) and ciphertexts resident in the eval domain
+    across the in-graph chain, so each add+pt-mul step is pure pointwise
+    VPU work (no transforms; entry/exit NTTs amortized over the chain).
+    FHE_BENCH_EVAL=0 measures the legacy coefficient-domain chain."""
     import numpy as np
     n = int(os.environ.get("FHE_BENCH_N", 1 << 12))
     L = int(os.environ.get("FHE_BENCH_L", 2))
@@ -302,25 +374,69 @@ def bench_bfv_linear():
     param = R.RnsParam(n=n, t=t, L=L, M=L + 1)
     ks = prng.split(jax.random.PRNGKey(0), 6)
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+
+    def build():
         sk, pk = R.new_key(ks[0], param)
         m1 = prng.uniform_mod(ks[2], (B, n), t)
         m2 = prng.uniform_mod(ks[3], (B, n), t)
         c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
         c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
-    dev = jax.devices()[0]
-    c1, c2, m2d = jax.tree.map(lambda x: jax.device_put(x, dev),
-                               (c1, c2, m2))
+        return dict(sk=sk, m1=m1, m2=m2, c1=c1, c2=c2)
 
-    step = jax.jit(lambda a0, a1, b0, b1, m: R.mul_pt(
-        param, R.add(param, R.CT(a0, a1), R.CT(b0, b1)), m))
+    st = _setup_cached("bfv_linear", (n, t, L, B, 1), build)
+    sk, m1, m2, c1, c2 = (st["sk"], st["m1"], st["m2"], st["c1"], st["c2"])
+    dev = jax.devices()[0]
+    c1, c2, m2d = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), dev),
+                               (c1, c2, m2))
+    _note("bfv_linear: device upload done")
+    chain = int(os.environ.get("FHE_BENCH_CHAIN", 8))
+    evalres = os.environ.get("FHE_BENCH_EVAL", "1") == "1"
+
+    if evalres:
+        # production linear path (r5): plaintext in NTT form (pt_to_evals,
+        # the SEAL trick) + eval-resident ciphertexts — each chained step is
+        # pointwise addmod + Montgomery mul on both bases, ZERO transforms;
+        # the NTT entry/exit is amortized over the in-graph chain.  Chained
+        # (output feeds input) so no cache can serve the repeat dispatches.
+        def _lin_chain(a0, a1, b0, b1, m):
+            em = R.pt_to_evals(param, m)
+            ce = R.to_evals(param, R.CT(a0, a1))
+            be = R.to_evals(param, R.CT(b0, b1))
+            for _ in range(chain):
+                ce = R.mul_pt_e(param, R.add_e(param, ce, be), em)
+            r = R.from_evals(param, ce)
+            return r.c0, r.c1
+
+        step_jit = jax.jit(_lin_chain)
+        one = jax.jit(lambda a0, a1, b0, b1, m: tuple(R.from_evals(
+            param, R.mul_pt_e(param, R.add_e(
+                param, R.to_evals(param, R.CT(a0, a1)),
+                R.to_evals(param, R.CT(b0, b1))),
+            R.pt_to_evals(param, m)))))
+    else:
+        def _lin_chain(a0, a1, b0, b1, m):
+            c = R.CT(a0, a1)
+            for _ in range(chain):
+                c = R.mul_pt(param, R.add(param, c, R.CT(b0, b1)), m)
+            c = R._lift(c)
+            return c.c0, c.c1
+
+        step_jit = jax.jit(_lin_chain)
+        one = jax.jit(lambda a0, a1, b0, b1, m: tuple(R._lift(R.mul_pt(
+            param, R.add(param, R.CT(a0, a1), R.CT(b0, b1)), m))))
+
+    probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64].astype(jnp.uint64)))
     args = (c1.c0, c1.c1, c2.c0, c2.c1, m2d)
-    out = step(*args)
-    jax.block_until_ready(out)
+    out = one(*args)                     # fresh single step: decrypt-verified
+    float(probe(out[0]))
+    w = step_jit(*args)                  # compile the chained step
+    float(probe(w[0]))
     t0 = time.perf_counter()
+    cur = (c1.c0, c1.c1)
     for _ in range(iters):
-        out = step(*args)
-    jax.block_until_ready(out)
+        timed = step_jit(cur[0], cur[1], c2.c0, c2.c1, m2d)
+        cur = (timed[0], timed[1])       # noise grows — timing only
+    float(probe(timed[0]))
     dt = time.perf_counter() - t0
 
     from fhe_study_tpu.ops import ntt as ntt_mod
@@ -332,7 +448,7 @@ def bench_bfv_linear():
         want = modops.coerce_i64(ntt_mod.polymul_i64_crt(
             s12.astype(jnp.int64), m2.astype(jnp.int64)), t)
     ok = bool((np.asarray(rec) == np.asarray(want)).all())
-    value = B * iters / dt
+    value = B * chain * iters / dt
     return _emit({
         "metric": f"bfv_rns_add_ptmul_n{n}_per_sec_per_chip"
                   + ("" if ok else "_DECRYPT_FAIL"),
@@ -354,21 +470,27 @@ def bench_ckks():
     param = C.Param(n=n, L=L, delta=2.0 ** 28)
     ks = prng.split(jax.random.PRNGKey(0), 5)
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    rng = np.random.default_rng(0)
+    z1 = rng.uniform(-1, 1, (B, n // 2))
+    z2 = rng.uniform(-1, 1, (B, n // 2))
+
+    def build():
         sk, pk = C.new_key(ks[0], param)
         hrlk = C.hybrid_rlk(ks[1], param, sk)
-        rng = np.random.default_rng(0)
-        z1 = rng.uniform(-1, 1, (B, n // 2))
-        z2 = rng.uniform(-1, 1, (B, n // 2))
         c1 = C.encrypt(ks[2], param, pk,
                        C.encode(param, jnp.asarray(z1), jnp.zeros_like(z1)),
                        batch=(B,))
         c2 = C.encrypt(ks[3], param, pk,
                        C.encode(param, jnp.asarray(z2), jnp.zeros_like(z2)),
                        batch=(B,))
+        return dict(sk=sk, hrlk=hrlk, c1=c1, c2=c2)
+
+    st = _setup_cached("ckks", (n, L, B, 1), build)
+    sk, hrlk, c1, c2 = st["sk"], st["hrlk"], st["c1"], st["c2"]
     dev = jax.devices()[0]
-    hrlk, c1, c2 = jax.tree.map(lambda x: jax.device_put(x, dev),
+    hrlk, c1, c2 = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), dev),
                                 (hrlk, c1, c2))
+    _note("ckks: device upload done")
     def _step(a0, a1, b0, b1, hb, ha):
         out = C.mul_hybrid(param, type(hrlk)(hb, ha), C.CT(a0, a1),
                            C.add(param, C.CT(a0, a1), C.CT(b0, b1)))[0]
@@ -537,26 +659,35 @@ def bench_bfv():
     param = R.RnsParam(n=n, t=t, L=L, M=M)
     key = jax.random.PRNGKey(0)
     ks = prng.split(key, 6)
+    relin = os.environ.get("FHE_RELIN", "hybrid")
     # setup on the LOCAL CPU backend: eager ops on the remote TPU would each
     # dispatch individually through the tunnel
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+
+    def build():
         sk, pk = R.new_key(ks[0], param)
         # hybrid (P-extended) 1-row relin is the production default: L+K
         # digit transforms instead of L^2 (FHE_RELIN=gadget for the legacy
         # RNS-gadget comparison)
-        if os.environ.get("FHE_RELIN", "hybrid") == "hybrid":
+        if relin == "hybrid":
             rlk = R.hybrid_rlk1(ks[1], param, sk)
         else:
             rlk = R.rlk_key(ks[1], param, sk)
-        krlk = type(rlk)
         m1 = prng.uniform_mod(ks[2], (B, n), t)
         m2 = prng.uniform_mod(ks[3], (B, n), t)
         c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
         c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
+        return dict(sk=sk, rlk=rlk, m1=m1, m2=m2, c1=c1, c2=c2)
+
+    st = _setup_cached("bfv", (n, t, L, M, B, relin, 1), build)
+    sk, rlk, m1, m2, c1, c2 = (st["sk"], st["rlk"], st["m1"], st["m2"],
+                               st["c1"], st["c2"])
+    krlk = type(rlk)
+    cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
     rlk, c1, c2 = jax.tree.map(
-        lambda x: jax.device_put(x, dev), (rlk, c1, c2))  # sk stays on CPU
+        lambda x: jax.device_put(jnp.asarray(x), dev),
+        (rlk, c1, c2))  # sk stays on CPU
+    _note("bfv: device upload done")
 
     chain = int(os.environ.get("FHE_BENCH_CHAIN", 8))
     # eval-resident (NTT-domain) ciphertexts are the production multiply
@@ -685,16 +816,20 @@ def main():
     modes = {
         # order: kernel roofline first (cheap; sets the ceiling the headline
         # quotes), then the HEADLINE (bfv ct-mul) so it lands no matter what
-        # the driver's wall-clock budget is, then the rest.  The headline's
-        # line is re-emitted after every later mode and once more at the end
-        # — the driver parses the FINAL JSON line of the run.
+        # the driver's wall-clock budget is, then the remaining CHEAP modes,
+        # and ckks_boot — the most expensive AND most fragile mode (multi-GB
+        # C-blocking upload the alarm cannot preempt) — strictly LAST, so a
+        # boot stall can only cost boot itself (r4 lost tfhe_prod to the
+        # tail squeeze after boot).  The headline's line is re-emitted after
+        # every later mode and once more at the end — the driver parses the
+        # FINAL JSON line of the run.
         "ntt": bench_ntt,
         "bfv": bench_bfv,
         "bfv_linear": bench_bfv_linear,
         "ckks": bench_ckks,
-        "ckks_boot": bench_ckks_boot,
         "tfhe": bench_tfhe,
         "tfhe_prod": bench_tfhe_prod,
+        "ckks_boot": bench_ckks_boot,
     }
     if kind != "all":
         modes[kind]()
@@ -718,12 +853,15 @@ def main():
     # ~25 min total incl startup, inside the driver's ~30-min window
     total = int(os.environ.get("FHE_BENCH_TOTAL_BUDGET", 1550))
     # per-mode ceilings (compile-heavy modes need more; measured r02-r04).
-    # NB a mode whose FIRST compile exceeds its slice can never populate
-    # the persistent cache (the alarm kills the wait before the cache
-    # write) — builders must pre-warm new graphs with FHE_BENCH_KIND=<mode>
+    # r5: host-side setups are now disk-cached (_setup_cached), so a warm
+    # mode's slice covers only load + upload + cached-compile + measure —
+    # the r4 tfhe_prod keygen-in-slice death can't recur warm.  NB a mode
+    # whose FIRST compile exceeds its slice can never populate the
+    # persistent cache (the alarm kills the wait before the cache write) —
+    # builders must pre-warm new graphs with FHE_BENCH_KIND=<mode>
     # standalone runs, which have no alarm.
     cap = {"ntt": 280, "bfv": 330, "bfv_linear": 150, "ckks": 180,
-           "tfhe": 200, "tfhe_prod": 200, "ckks_boot": 560}
+           "tfhe": 200, "tfhe_prod": 200, "ckks_boot": 600}
     # initialize the device backend BEFORE the mode loop: the first
     # jax.devices() pays the axon tunnel handshake (~30-60 s), which must
     # not be charged against the first mode's alarm slice

@@ -481,6 +481,37 @@ def add_e(param: RnsParam, x: CTE, y: CTE) -> CTE:
                modops32.addmod(a32(x.e1p), a32(y.e1p), pv))
 
 
+def pt_to_evals(param: RnsParam, m):
+    """Plaintext -> Montgomery-domain NTT residues over BOTH bases (Q and
+    P) — SEAL's "plaintext in NTT form": precompute once per plaintext
+    operand, then every mul_pt_e is one in-VMEM Montgomery product per
+    component with ZERO transforms.  (The coefficient-domain mul_pt pays
+    5 transforms per call; linear pipelines — encrypted linear layers,
+    masks, constants — reuse the same plaintext across many ciphertexts.)"""
+    qs, ps = param.qs, param.ps
+    mi = jnp.asarray(m, jnp.int64)
+    mq = ntt_multi(_to_residues(mi, qs).astype(jnp.uint32), qs, mont=True)
+    mp = ntt_multi(_to_residues(mi, ps).astype(jnp.uint32), ps, mont=True)
+    return mq, mp
+
+
+def mul_pt_e(param: RnsParam, x: CTE, em) -> CTE:
+    """Ciphertext x plaintext, eval domain: pointwise Montgomery products
+    against pt_to_evals output on both bases.  Same products as the
+    coefficient-domain mul_pt (glwe.rs:207-280 analog) — identical noise."""
+    from ..ops import modops32
+    mq, mp = em
+    qv, nqv, _ = (jnp.asarray(c) for c in modops32.consts(param.qs,
+                                                          x.e0q.ndim))
+    pv, npv, _ = (jnp.asarray(c) for c in modops32.consts(param.ps,
+                                                          x.e0p.ndim))
+    a32 = lambda a: a.astype(jnp.uint32)  # noqa: E731
+    return CTE(modops32.mont_mul(a32(x.e0q), mq, qv, nqv),
+               modops32.mont_mul(a32(x.e1q), mq, qv, nqv),
+               modops32.mont_mul(a32(x.e0p), mp, pv, npv),
+               modops32.mont_mul(a32(x.e1p), mp, pv, npv))
+
+
 def mul_e(param: RnsParam, rlk: RLK, x: CTE, y: CTE) -> CTE:
     """Eval-resident ct x ct multiply + relinearization.  Bit-identical to
     mul(from_evals(x), from_evals(y)) — same products, same HPS scaling,

@@ -140,6 +140,40 @@ def test_eval_resident_mul_matches_mul():
     np.testing.assert_array_equal(np.asarray(rec), np.asarray(w2))
 
 
+def test_eval_resident_linear_ops():
+    """mul_pt_e against pt_to_evals == the coefficient-domain mul_pt,
+    bit-exactly, and a chained eval-resident linear pipeline
+    (add_e -> mul_pt_e, never leaving the NTT domain) decrypts to the
+    same plaintext algebra — the production linear path the bfv_linear
+    bench measures."""
+    param = R.RnsParam(n=128, t=16, L=3, M=4)
+    ks = prng.split(jax.random.PRNGKey(9), 6)
+    B = 4
+    sk, pk = R.new_key(ks[0], param)
+    m1 = prng.uniform_mod(ks[1], (B, param.n), param.t)
+    m2 = prng.uniform_mod(ks[2], (B, param.n), param.t)
+    c1 = R.encrypt(ks[3], param, pk, m1, batch=(B,))
+    c2 = R.encrypt(ks[4], param, pk, m2, batch=(B,))
+    # bit-exact vs mul_pt on the Q components
+    ref = R._lift(R.mul_pt(param, c1, m2))
+    em = R.pt_to_evals(param, m2)
+    got = R.from_evals(param, R.mul_pt_e(param, R.to_evals(param, c1), em))
+    np.testing.assert_array_equal(np.asarray(got.c0), np.asarray(ref.c0))
+    np.testing.assert_array_equal(np.asarray(got.c1), np.asarray(ref.c1))
+    # chained pipeline: ((m1+m2)*m2 + m2)*m2, all eval-resident
+    ce = R.mul_pt_e(param, R.add_e(param, R.to_evals(param, c1),
+                                   R.to_evals(param, c2)), em)
+    ce = R.mul_pt_e(param, R.add_e(param, ce, R.to_evals(param, c2)), em)
+    rec = R.decrypt(param, sk, R.from_evals(param, ce))
+    w1 = _naive_pt_mul(modops.coerce_u64(
+        m1.astype(jnp.int64) + m2.astype(jnp.int64), param.t),
+        m2, param.t, param.n)
+    w2 = _naive_pt_mul(modops.coerce_u64(
+        w1.astype(jnp.int64) + m2.astype(jnp.int64), param.t),
+        m2, param.t, param.n)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(w2))
+
+
 def test_hybrid_relin_mul():
     """1-row hybrid (P-extended) relinearization: same product as the RNS
     gadget, for mul AND mul_e, and a depth-2 chain decrypts (noise ~2^69 at
