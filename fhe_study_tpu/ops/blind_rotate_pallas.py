@@ -168,7 +168,7 @@ def _inv_ntt(x, q, tw_ref, pidx, logn, rows, ninv_pair, lazy):
 
 def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
                ev2s_ref, o_ref, acc_ref, *, n, B, C, w, l, kn, pq, crt,
-               lazy, U=1):
+               lazy, U=1, roll_mode="perb"):
     """One grid step = U consecutive CMux links of the blind-rotation chain.
     Grid is (batch blocks, kn // U): j (minor) walks the chain, ib picks the
     batch tile whose accumulator currently lives in scratch.  B = the tile
@@ -197,7 +197,7 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
             shift_ref, tw_ref, acc, j * U + u, ib,
             ev1u[u], ev1su[u], ev2u[u], ev2su[u],
             n=n, B=B, C=C, w=w, l=l, pq=pq, crt=crt, lazy=lazy,
-            nq1=nq1, nq2=nq2)
+            nq1=nq1, nq2=nq2, roll_mode=roll_mode)
     acc_ref[...] = acc
 
     @pl.when(j == (kn // U) - 1)
@@ -206,7 +206,7 @@ def _br_kernel(shift_ref, acc0_ref, tw_ref, ev1_ref, ev1s_ref, ev2_ref,
 
 
 def _br_one_step(shift_ref, tw_ref, acc, jj, ib, ev1b, ev1sb, ev2b, ev2sb,
-                 *, n, B, C, w, l, pq, crt, lazy, nq1, nq2):
+                 *, n, B, C, w, l, pq, crt, lazy, nq1, nq2, roll_mode="perb"):
     """One CMux link on a register-resident accumulator.  jj: traced chain
     index (SMEM shift lookup); ev*b: this link's BSK slice
     [C, l, C, 2, rows*LANES]."""
@@ -215,18 +215,13 @@ def _br_one_step(shift_ref, tw_ref, acc, jj, ib, ev1b, ev1sb, ev2b, ev2sb,
     p1, p2 = pq
 
     # ---- rot = acc * X^{-(2n - a'_j)} (per-batch dynamic amounts) --------
-    hs, negs, z1s = [], [], []
+    hs, negs = [], []
     for b in range(B):
         h2 = shift_ref[jj, ib * B + b]       # whole [kn, Btot] table in SMEM
         negall = h2 >= I32(n)
         h = jnp.where(negall, h2 - I32(n), h2)
-        hc = jax.lax.rem(h, I32(LANES))
-        sh = jnp.where(hc == 0, I32(0), I32(LANES) - hc)
-        # lane roll per b (scalar shift required); sublane phase batched
-        z1s.append(pltpu.roll(acc[b].reshape(C * 2, rows, LANES), sh, 2))
         hs.append(h)
         negs.append(negall)
-    z1 = jnp.stack(z1s)                      # [B, C*2, rows, LANES]
     # NB: broadcast_to + concat, NOT stack(scalars).reshape — a 1-D -> 4-D
     # shape cast of an SMEM-scalar vector fails Mosaic layout inference
     # ("infer-vector-layout: unsupported shape cast").  Lane-wide (LANES)
@@ -237,6 +232,26 @@ def _br_one_step(shift_ref, tw_ref, acc, jj, ib, ev1b, ev1sb, ev2b, ev2sb,
         [jnp.broadcast_to(h, (1, 1, 1, LANES)) for h in hs], 0)
     negv = jnp.concatenate(
         [jnp.broadcast_to(g, (1, 1, 1, LANES)) for g in negs], 0)
+    if roll_mode == "barrel":
+        # BATCHED lane phase (r5, VERDICT r4 #2): one log2(LANES)-stage
+        # barrel shifter over the whole [B, C*2, rows, LANES] tile replaces
+        # the B sequential scalar `pltpu.roll` calls — each stage is a
+        # static roll + a per-batch-row select, so the rotation work is
+        # 7 full-tile ops instead of B serialized small ones.
+        # z1[lane] = acc[(lane + hc) % LANES], identical to the perb path.
+        hcv = jax.lax.rem(hv, I32(LANES))    # [B, 1, 1, LANES]
+        z1 = acc.reshape(B, C * 2, rows, LANES)
+        for k in range(LANES.bit_length() - 1):
+            rolled = _roll(z1, -(1 << k), 3)
+            z1 = jnp.where(((hcv >> I32(k)) & I32(1)) == I32(1), rolled, z1)
+    else:
+        z1s = []
+        for b, h in enumerate(hs):
+            hc = jax.lax.rem(h, I32(LANES))
+            sh = jnp.where(hc == 0, I32(0), I32(LANES) - hc)
+            # lane roll per b (scalar shift required); sublane phase batched
+            z1s.append(pltpu.roll(acc[b].reshape(C * 2, rows, LANES), sh, 2))
+        z1 = jnp.stack(z1s)                  # [B, C*2, rows, LANES]
     rot, flipf = _rotate_neg_batch(z1, hv, negv, n, rows)
     rot = rot.reshape(B, C, 2, rows, LANES)
     flip = flipf[:, :1]                      # [B, 1, rows, LANES] all planes
@@ -414,8 +429,12 @@ def blind_rotate_fused(shifts, acc0, ev1, ev1s, ev2, ev2s, n: int, w: int,
     U = max(1, min(kn, U))
     while kn % U:
         U -= 1                           # U must divide the chain length
+    # FHE_BR_ROLL=barrel: batched barrel-shifter lane rotation (A/B vs the
+    # per-batch-element pltpu.roll default; bit-exact either way)
+    roll_mode = _os.environ.get("FHE_BR_ROLL", "perb")
     kern = partial(_br_kernel, n=n, B=bb, C=C, w=w, l=l, kn=kn, pq=pq,
-                   crt=_crt_consts(), lazy=_lazy_ok(pq), U=U)
+                   crt=_crt_consts(), lazy=_lazy_ok(pq), U=U,
+                   roll_mode=roll_mode)
     # NB index maps: every constant is written 0*j — bare Python 0 traces as
     # i64 under x64 and Mosaic cannot legalize i64 transform returns.
     grid_spec = pltpu.PrefetchScalarGridSpec(
