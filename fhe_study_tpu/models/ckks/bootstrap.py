@@ -348,6 +348,119 @@ def _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w,
     return outs
 
 
+def _stage_raise_c2s_multi(param_boot, keys, ct_l1, K, r, delta_w,
+                           base_limbs: int, stages: int):
+    """Radix-split ModRaise + C2S (VERDICT r4 #3): `stages` sparse
+    butterfly-group plans instead of ONE dense plan — per-stage diagonal
+    material shrinks from O(n/2) rows to O(2^(log(n/2)/stages)) rows, at
+    the cost of (stages-1)*pt_levels extra levels.  Two parallel chains
+    (lower/upper coefficient half); stage 0 shares one plan (and its
+    hoisted babies) across both chains since they consume the same raised
+    ciphertext.  Output coefficient layout is bitrev-in-t — consumed by
+    _stage_s2c_multi, invisible to the slot-pointwise EvalMod."""
+    import numpy as np
+    n = param_boot.n
+    Q0 = _base(param_boot, base_limbs)
+    rk = keys.rotkeys()
+    ct = (mod_raise(param_boot, ct_l1) if base_limbs == 1
+          else mod_raise2(param_boot, ct_l1))
+    vmax = (2 * math.pi * (K + 0.5) + math.pi / 2) / (1 << r)
+    a = 2 * math.pi / (Q0 * (1 << r) * vmax)
+    b = (-math.pi / 2) / ((1 << r) * vmax)
+    scale_fold = a * delta_w
+    pt_levels = 1 if base_limbs == 1 else 2
+    smaps = ev.c2s_stage_maps(n, stages, fold=scale_fold / 2)
+    L_cur = param_boot.L
+    c1 = c2 = None
+    for s, (m1, m2) in enumerate(smaps):
+        pL = ckks_rns.Param(n=n, L=L_cur, delta=1.0,
+                            prime_bits=param_boot.prime_bits)
+        if s == 0:
+            pkey = ("c2s_ms", s, L_cur, K, r, delta_w, base_limbs, stages)
+            if pkey not in keys._plans:
+                keys._plans[pkey] = ev.build_rmap_plan(
+                    pL, [m1, m2], pt_levels=pt_levels)
+            (c1, c2), _ = ev.apply_rmap_plan(pL, rk, ct, keys._plans[pkey])
+        else:
+            same = (np.array_equal(m1[0], m2[0])
+                    and np.array_equal(m1[1], m2[1]))
+            outs = []
+            for chain, (mm, cc) in enumerate(((m1, c1), (m2, c2))):
+                ch = 0 if same else chain
+                pkey = ("c2s_ms", s, ch, L_cur, K, r, delta_w,
+                        base_limbs, stages)
+                if pkey not in keys._plans:
+                    keys._plans[pkey] = ev.build_rmap_plan(
+                        pL, [mm], pt_levels=pt_levels)
+                (o,), _ = ev.apply_rmap_plan(pL, rk, cc, keys._plans[pkey])
+                outs.append(o)
+            c1, c2 = outs
+        L_cur -= pt_levels
+    outs = []
+    for c_ in (c1, c2):
+        p_ = ckks_rns.Param(n=n, L=L_cur, delta=delta_w,
+                            prime_bits=param_boot.prime_bits)
+        c_ = poly.add_pt_const(p_, c_, b * 1.0)
+        outs.append((c_, p_))
+    return outs
+
+
+def _stage_s2c_multi(param_boot, keys, halves, delta0, double=False,
+                     drops: int | None = None, base_limbs: int = 1,
+                     stages: int = 2):
+    """Radix-split SlotToCoeff: forward butterfly-group plans per chain;
+    chain 2's last stage carries the diag(sigma) fold so the final combine
+    is a plain add.  Scale bookkeeping identical to _stage_s2c."""
+    import numpy as np
+    n = param_boot.n
+    Q0 = _base(param_boot, base_limbs)
+    rk = keys.rotkeys()
+    (s1, p1), (s2, p2) = halves
+    L = min(p1.L, p2.L)
+    s1, p1 = poly.level_drop(p1, s1, L)
+    s2, p2 = poly.level_drop(p2, s2, L)
+    fold = Q0 / (2 * math.pi) if base_limbs == 1 else 1.0
+    pt_levels = 1 if base_limbs == 1 else 2
+    smaps = ev.s2c_stage_maps(n, stages)
+    L_cur = L
+    cs = [s1, s2]
+    for s, (m1, m2) in enumerate(smaps):
+        last = (s == len(smaps) - 1)
+        if last and fold != 1.0:
+            m1 = (m1[0] * fold, m1[1] * fold)
+            m2 = (m2[0] * fold, m2[1] * fold)
+        pL = ckks_rns.Param(n=n, L=L_cur, delta=1.0,
+                            prime_bits=param_boot.prime_bits)
+        same = (np.array_equal(m1[0], m2[0])
+                and np.array_equal(m1[1], m2[1]))
+        outs = []
+        for chain, (mm, cc) in enumerate(((m1, cs[0]), (m2, cs[1]))):
+            ch = 0 if same else chain
+            pkey = ("s2c_ms", s, ch, L_cur, base_limbs, stages)
+            if pkey not in keys._plans:
+                keys._plans[pkey] = ev.build_rmap_plan(
+                    pL, [mm], pt_levels=pt_levels)
+            (o,), _ = ev.apply_rmap_plan(pL, rk, cc, keys._plans[pkey])
+            outs.append(o)
+        cs = outs
+        L_cur -= pt_levels
+    pf = ckks_rns.Param(n=n, L=L_cur, delta=p1.delta,
+                        prime_bits=param_boot.prime_bits)
+    out = ckks_rns.add(pf, cs[0], cs[1])
+    out_delta = (pf.delta * delta0 if base_limbs == 1
+                 else pf.delta * (2 * math.pi / Q0) * delta0)
+    pout = ckks_rns.Param(n=n, L=pf.L, delta=out_delta,
+                          prime_bits=param_boot.prime_bits)
+    if drops is None:
+        drops = 1 if base_limbs == 1 else 0
+    for _ in range(drops):
+        out, _ = ckks_rns.rescale(pout, out)
+        pout = ckks_rns.Param(n=n, L=pout.L - 1,
+                              delta=pout.delta / pout.qs[pout.L - 1],
+                              prime_bits=param_boot.prime_bits)
+    return out, pout
+
+
 def _arcsin_coeffs(terms: int):
     """arcsin(s) Taylor: s + s^3/6 + 3 s^5/40 + 15 s^7/336 ... (`terms`
     odd-power terms) — cancels the linearization error of
@@ -457,7 +570,8 @@ def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
               K: int = 7, r: int = 3, deg: int = 24,
               delta_w: float = 2.0 ** 30, double: bool | None = None,
               arcsin_terms: int = 2, s2c_drops: int | None = None,
-              base_limbs: int = 1):
+              base_limbs: int = 1, c2s_stages: int = 1,
+              s2c_stages: int = 1):
     # NB delta_w must sit at ~the rescale granularity: single mode drops one
     # ~2^30 prime per multiply (delta_w ~ 2^30), double mode drops two
     # (delta_w ~ 2^60) — a mismatched working scale would COLLAPSE
@@ -471,10 +585,17 @@ def bootstrap(param_boot, keys: BootstrapKeys, ct_l1, delta0: float,
     ~20+ refreshed bits instead of ~8.  Pair with deg>=30 and
     arcsin_terms>=3 so the approximation error keeps up with the noise."""
     dbl = _is_double(delta_w, double)
-    outs = _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w,
-                            base_limbs)
+    if c2s_stages > 1:
+        outs = _stage_raise_c2s_multi(param_boot, keys, ct_l1, K, r,
+                                      delta_w, base_limbs, c2s_stages)
+    else:
+        outs = _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w,
+                                base_limbs)
     halves = [_stage_evalmod(keys, c_, p_, K, r, deg, dbl, arcsin_terms)
               for c_, p_ in outs]
+    if s2c_stages > 1:
+        return _stage_s2c_multi(param_boot, keys, halves, delta0, dbl,
+                                s2c_drops, base_limbs, s2c_stages)
     return _stage_s2c(param_boot, keys, halves, delta0, dbl, s2c_drops,
                       base_limbs)
 
@@ -483,7 +604,8 @@ def precompute_keys(key, param_boot, sk, delta0: float, *, batch=(),
                     K: int = 7, r: int = 3, deg: int = 24,
                     delta_w: float = 2.0 ** 30, double: bool | None = None,
                     arcsin_terms: int = 2, s2c_drops: int | None = None,
-                    base_limbs: int = 1, with_em_src: bool = False):
+                    base_limbs: int = 1, with_em_src: bool = False,
+                    c2s_stages: int = 1, s2c_stages: int = 1):
     """Production key builder: derive the COMPLETE bootstrap key set
     (per-level hybrid relin + rotation keys, C2S/S2C diagonal plans) from
     the secret key once, and return (arrays, static, pout) with NO secret
@@ -502,7 +624,8 @@ def precompute_keys(key, param_boot, sk, delta0: float, *, batch=(),
                             delta0=delta0, K=K, r=r, deg=deg,
                             delta_w=delta_w, double=double,
                             arcsin_terms=arcsin_terms, s2c_drops=s2c_drops,
-                            base_limbs=base_limbs)
+                            base_limbs=base_limbs, c2s_stages=c2s_stages,
+                            s2c_stages=s2c_stages)
         cell["pout"] = po
         return out.c0, out.c1
 
@@ -524,7 +647,8 @@ def precompute_keys(key, param_boot, sk, delta0: float, *, batch=(),
 def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
                 deg: int = 24, delta_w: float = 2.0 ** 30,
                 double: bool | None = None, arcsin_terms: int = 2,
-                s2c_drops: int | None = None, base_limbs: int = 1):
+                s2c_drops: int | None = None, base_limbs: int = 1,
+                c2s_stages: int = 1, s2c_stages: int = 1):
     """Per-STAGE jitted bootstrap: ModRaise+C2S | EvalMod (shared across
     both halves) | S2C each compile as their OWN jit — the whole-pipeline
     single jit produces a graph XLA takes tens of minutes to compile (every
@@ -539,8 +663,13 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
 
     def f1(arr, c0, c1):
         fk = FrozenKeys(arr, static)
-        outs = _stage_raise_c2s(param_boot, fk, ckks_rns.CT(c0, c1),
-                                K, r, delta_w, base_limbs)
+        if c2s_stages > 1:
+            outs = _stage_raise_c2s_multi(param_boot, fk,
+                                          ckks_rns.CT(c0, c1), K, r,
+                                          delta_w, base_limbs, c2s_stages)
+        else:
+            outs = _stage_raise_c2s(param_boot, fk, ckks_rns.CT(c0, c1),
+                                    K, r, delta_w, base_limbs)
         cell["p1"] = outs[0][1]
         assert outs[1][1] == outs[0][1]    # halves share a level signature
         return (outs[0][0].c0, outs[0][0].c1,
@@ -557,8 +686,13 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
         fk = FrozenKeys(arr, static)
         halves = [(ckks_rns.CT(a0, a1), cell["p2"]),
                   (ckks_rns.CT(b0, b1), cell["p2"])]
-        out, pout = _stage_s2c(param_boot, fk, halves, delta0, dbl,
-                               s2c_drops, base_limbs)
+        if s2c_stages > 1:
+            out, pout = _stage_s2c_multi(param_boot, fk, halves, delta0,
+                                         dbl, s2c_drops, base_limbs,
+                                         s2c_stages)
+        else:
+            out, pout = _stage_s2c(param_boot, fk, halves, delta0, dbl,
+                                   s2c_drops, base_limbs)
         cell["pout"] = pout
         return out.c0, out.c1
 

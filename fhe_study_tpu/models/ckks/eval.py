@@ -401,6 +401,8 @@ def apply_rmap_plan(param, rk: RotKeys, ct, plan: RmapPlan):
 
     parts0, parts1 = [], []
     for src, babies in ((0, babies_d), (1, babies_e)):
+        if not babies:       # purely linear plan: no z_c side at all
+            continue
         base, ed = (ct, edm) if src == 0 else (zc, edm_c)
         rot = [j for j in babies if j != 0]
         if 0 in babies:                   # identity baby: plain to_eval
@@ -499,6 +501,187 @@ def apply_rmap_plan(param, rk: RotKeys, ct, plan: RmapPlan):
             ct2, _ = ckks_rns.rescale(pL, ct2)
         outs.append(ct2)
     return outs, param2
+
+
+# ---------------------------------------------------------------------------
+# Multi-stage (radix-split) special-FFT factorization — the level-for-memory
+# trade that shrinks C2S/S2C diagonal material from O(m) dense rows to
+# O(2^(log(m)/S)) rows per stage (VERDICT r4 #3; eprint 2018/1073 structure).
+#
+# Core identity: slot evaluation is y_t = p(zeta^{5^t mod 2n}) in the
+# 5-orbit coordinates t (slot rotations act as translations of t).  The
+# classic decimation recursion applies because 5^(mm/2) == 1 + (2n/2^d)*odd
+# (2-adic valuation of 5^(2^i)-1 is i+2), so the paired point at every
+# depth is the negation: y-pair = -y.  Each butterfly level is a matrix
+# with rotation-diagonals {0, +-mm/2}; grouping adjacent levels keeps the
+# product sparse (subset sums of the offsets).  The leftover input
+# bit-reversal is absorbed by the slot-LAYOUT freedom between C2S and S2C:
+# EvalMod is slot-pointwise with real Taylor coefficients, so any fixed
+# (conj-flagged) relabeling that C2S emits and S2C consumes cancels.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _special_fft_factors(n: int):
+    """Butterfly factors of F (t-space, [m, m], m = n/2):
+    F = factors[0] @ ... @ factors[-1] @ Pbr, F[t, k] = zeta^(5^t * k).
+    Factor d has nonzeros only on t-diagonals {0, +-(m >> (d+1))}."""
+    m = n // 2
+    zeta = np.exp(1j * np.pi / n)
+    logm = m.bit_length() - 1
+    factors = []
+    for d in range(logm):
+        mm = m >> d
+        F = np.zeros((m, m), np.complex128)
+        for b in range(0, m, mm):
+            for t in range(mm // 2):
+                e = (pow(5, t, 2 * n) * (1 << d)) % (2 * n)
+                y = zeta ** e
+                F[b + t, b + t] = 1
+                F[b + t, b + mm // 2 + t] = y
+                F[b + mm // 2 + t, b + t] = 1
+                F[b + mm // 2 + t, b + mm // 2 + t] = -y
+        factors.append(F)
+    return factors
+
+
+@lru_cache(maxsize=None)
+def _bitrev(m: int):
+    bits = m.bit_length() - 1
+    return np.array([int(format(t, f"0{bits}b")[::-1], 2) if bits else 0
+                     for t in range(m)], np.int64)
+
+
+@lru_cache(maxsize=None)
+def _t_maps(n: int):
+    """5-orbit coordinates: t -> (slot j, conj flag).  Slot j holds the
+    eval at zeta^(2j+1); 5^t mod 2n lands either at u = 2j+1 (linear) or
+    at 2n-u (the conjugate point)."""
+    m = n // 2
+    j_of_t = np.empty(m, np.int64)
+    cj_of_t = np.empty(m, bool)
+    u = 1
+    for t in range(m):
+        if u < n:
+            j_of_t[t] = (u - 1) // 2
+            cj_of_t[t] = False
+        else:
+            j_of_t[t] = (2 * n - u - 1) // 2
+            cj_of_t[t] = True
+        u = (u * 5) % (2 * n)
+    assert len(set(j_of_t.tolist())) == m, "5-orbit does not cover slots"
+    return j_of_t, cj_of_t
+
+
+def _t_to_nat(n: int, lin=None, anti=None):
+    """t-space map -> natural-slot (A, B) pair for rmap machinery.
+
+    V_t = conj^{cj(t)}(z[j(t)]); out V'_t = lin V + anti conj(V); written
+    back as z'[j(t)] = conj^{cj(t)}(V'_t).  Distributing the conjugations:
+    a t-entry v with total conj parity p contributes conj^{cj_o}(v) to A
+    (p even) or B (p odd) at [j_out, j_in]."""
+    m = n // 2
+    j_of, cj_of = _t_maps(n)
+    A = np.zeros((m, m), np.complex128)
+    B = np.zeros((m, m), np.complex128)
+    for M, base_parity in ((lin, 0), (anti, 1)):
+        if M is None:
+            continue
+        to, ti = np.nonzero(M)
+        for t_o, t_i in zip(to, ti):
+            v = M[t_o, t_i]
+            if cj_of[t_o]:
+                v = np.conj(v)
+            parity = base_parity ^ int(cj_of[t_o]) ^ int(cj_of[t_i])
+            (B if parity else A)[j_of[t_o], j_of[t_i]] += v
+    return A, B
+
+
+def _group_prod(mats):
+    out = mats[0]
+    for M in mats[1:]:
+        out = out @ M
+    return out
+
+
+def _split_groups(k: int, S: int):
+    """k factor indices into S contiguous groups, coarse levels first."""
+    S = max(1, min(S, k))
+    base, extra = divmod(k, S)
+    sizes = [base + (1 if i < extra else 0) for i in range(S)]
+    out, i = [], 0
+    for s in sizes:
+        out.append(list(range(i, i + s)))
+        i += s
+    return out
+
+
+@lru_cache(maxsize=None)
+def _sigma_t(n: int):
+    """sigma in t-space: sigma_j = x_j^m = i*(-1)^j, the X^m eval —
+    as a t-indexed diagonal (exponent 5^t * m mod 2n)."""
+    m = n // 2
+    zeta = np.exp(1j * np.pi / n)
+    return np.array([zeta ** ((pow(5, t, 2 * n) * m) % (2 * n))
+                     for t in range(m)], np.complex128)
+
+
+@lru_cache(maxsize=None)
+def c2s_stage_maps(n: int, S: int, fold: complex = 1.0):
+    """Per-stage natural (A, B) maps for the radix-split CoeffToSlot.
+
+    Returns `stages`: a list of S entries, each [(A, B) for chain 1,
+    (A, B) for chain 2] — chain 1 yields the LOWER coefficient half,
+    chain 2 the UPPER (its first stage folds the diag(conj(sigma))
+    pre-multiply).  The LAST stage of both chains folds the real
+    extraction out = fold*(y + conj(y)) (lin = fold*M, anti =
+    fold*conj(M)) — no separate extraction level.  Output coefficient
+    LAYOUT is bit-reversed-in-t (consumed by s2c_stage_maps; cancels)."""
+    m = n // 2
+    factors = _special_fft_factors(n)
+    inv = [np.linalg.inv(F) for F in factors]
+    # C2S chain: y = inv[L-1] @ ... @ inv[0] @ z (F^{-1} sans bitrev).
+    # Application order: the group containing inv[0] (the coarsest
+    # butterfly) runs FIRST; within a group the product is reversed so
+    # stage_mats[s] applied in order s = 0..S-1 composes to the chain.
+    stage_mats = []
+    for g in _split_groups(len(inv), S):
+        stage_mats.append(_group_prod([inv[i] for i in reversed(g)]))
+    sig_c = np.conj(_sigma_t(n))
+    out = []
+    for s, M in enumerate(stage_mats):
+        first, last = (s == 0), (s == S - 1)
+        M2 = M @ np.diag(sig_c) if first else M
+        if last:
+            e1 = _t_to_nat(n, lin=fold * M, anti=fold * np.conj(M))
+            e2 = _t_to_nat(n, lin=fold * M2, anti=fold * np.conj(M2))
+        else:
+            e1 = _t_to_nat(n, lin=M)
+            e2 = _t_to_nat(n, lin=M2)
+        out.append((e1, e2))
+    return out
+
+
+@lru_cache(maxsize=None)
+def s2c_stage_maps(n: int, S: int):
+    """Per-stage natural (A, B) maps for the radix-split SlotToCoeff.
+    Chain 1 consumes ct1 (lower coeffs, bitrev-t layout), chain 2 ct2;
+    chain 2's LAST stage folds the diag(sigma) post-multiply so the final
+    combine is a plain ciphertext add."""
+    factors = _special_fft_factors(n)
+    groups = _split_groups(len(factors), S)
+    # forward chain: W = factors[0] @ ... @ factors[-1] @ (bitrev layout);
+    # application order: factors[-1] group FIRST
+    stage_mats = []
+    for g in reversed(groups):
+        stage_mats.append(_group_prod([factors[i] for i in g]))
+    sig = _sigma_t(n)
+    out = []
+    for s, M in enumerate(stage_mats):
+        last = (s == len(stage_mats) - 1)
+        M2 = np.diag(sig) @ M if last else M
+        out.append((_t_to_nat(n, lin=M), _t_to_nat(n, lin=M2)))
+    return out
 
 
 def rmap_bsgs_multi(param, rk: RotKeys, ct, maps, n1: int | None = None):

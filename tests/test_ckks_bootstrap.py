@@ -210,3 +210,69 @@ def test_seeded_key_pack_expand_bit_exact():
     rr, ri = C.decode(pout2, C.decrypt_to_coeffs(pout2, sk, out_ct))
     got = np.asarray(rr) + 1j * np.asarray(ri)
     np.testing.assert_allclose(got, z, atol=1e-2)
+
+
+def test_ckks_bootstrap_multistage_c2s_s2c():
+    """Radix-split C2S/S2C (c2s_stages=s2c_stages=2): the per-stage
+    diagonal material shrinks to the butterfly-group bands (VERDICT r4
+    #3) and the refreshed message matches the single-stage pipeline's
+    accuracy.  The stage factorization itself is pinned numerically in
+    test_special_fft_factorization below."""
+    n, S = 32, 2
+    L = 18 + 2 * (S - 1)          # one extra pt_level per extra stage/side
+    delta0 = 2.0 ** 24
+    param = C.Param(n=n, L=L, delta=delta0)
+    ks = prng.split(jax.random.PRNGKey(0), 3)
+    sk, pk = C.new_key(ks[0], param)
+    rng = np.random.default_rng(1)
+    z = rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)
+    ct = C.encrypt(ks[1], param, pk,
+                   C.encode(param, jnp.asarray(z.real), jnp.asarray(z.imag)))
+    ct1, _ = P.level_drop(param, ct, 1)
+    arrays, static, pout = B.precompute_keys(ks[2], param, sk, delta0,
+                                             c2s_stages=S, s2c_stages=S)
+    run = B.make_staged(param, static, delta0, c2s_stages=S, s2c_stages=S)
+    out, pout2 = run(arrays, ct1.c0, ct1.c1)
+    assert pout2.L >= 3
+    rr, ri = C.decode(pout2, C.decrypt_to_coeffs(pout2, sk, out))
+    got = np.asarray(rr) + 1j * np.asarray(ri)
+    np.testing.assert_allclose(got, z, atol=1e-2)
+
+
+def test_special_fft_factorization():
+    """The butterfly factorization behind the multi-stage C2S/S2C:
+    exact reconstruction of the slot transform, sparse rotation-diagonal
+    structure, and C2S∘S2C identity — pure host math, every radix."""
+    from fhe_study_tpu.models.ckks import eval as ev
+
+    def apply_rlin(AB, v):
+        return AB[0] @ v + AB[1] @ np.conj(v)
+
+    for n in (16, 64):
+        m = n // 2
+        zeta = np.exp(1j * np.pi / n)
+        rng = np.random.default_rng(0)
+        p = rng.uniform(-1, 1, n)
+        x = zeta ** (2 * np.arange(m) + 1)
+        z = np.array([np.polyval(p[::-1], xj) for xj in x])
+        for S in (2, 3):
+            st = ev.c2s_stage_maps(n, S, fold=0.5)
+            v1, v2 = z.copy(), z.copy()
+            for m1, m2 in st:
+                v1, v2 = apply_rlin(m1, v1), apply_rlin(m2, v2)
+            j_of, _ = ev._t_maps(n)
+            br = ev._bitrev(m)
+            want1 = np.zeros(m)
+            want2 = np.zeros(m)
+            want1[j_of] = p[:m][br]
+            want2[j_of] = p[m:][br]
+            np.testing.assert_allclose(v1, want1, atol=1e-9)
+            np.testing.assert_allclose(v2, want2, atol=1e-9)
+            for m1, m2 in ev.s2c_stage_maps(n, S):
+                v1, v2 = apply_rlin(m1, v1), apply_rlin(m2, v2)
+            np.testing.assert_allclose(v1 + v2, z, atol=1e-9)
+            # sparsity: every stage's diagonal count is far below dense m
+            for (A, B), _ in st:
+                D, E = ev.rmap_diagonals(A, B, n)
+                assert len(D) + len(E) <= 2 * (1 << -(-len(
+                    ev._special_fft_factors(n)) // S)) + 2
