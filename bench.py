@@ -205,7 +205,7 @@ def bench_tfhe():
     n = int(os.environ.get("FHE_BENCH_N", 1024))
     t = int(os.environ.get("FHE_BENCH_T", 8))
     B = int(os.environ.get("FHE_BENCH_B", 64))   # fused chain amortizes
-    iters = int(os.environ.get("FHE_BENCH_ITERS", 1))
+    iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
     # 2^12 x 2 decomposition: 4 digit rows instead of 6 per CMux step —
     # measured +17%/+14% (short/full chain) with clean decrypts at t=8
     beta = int(os.environ.get("FHE_BENCH_BETA", 4096))
@@ -250,12 +250,20 @@ def bench_tfhe():
 
     bs_jit = jax.jit(_bs)
     bs = lambda ca, cb: bs_jit(ca, cb, btk, table, btk_evals)  # noqa: E731
+    # timing protocol (r5): CHAIN the bootstrap output into the next call's
+    # input (identity LUT -> message preserved, bits differ every link: the
+    # relay can't serve a cached result — re-issuing identical calls was
+    # measured served-from-cache at 300x the real rate) and close the
+    # window on a forced readback (block_until_ready does not reliably
+    # block through the relay).
     out = bs(c.a, c.b)
-    jax.block_until_ready(out)
+    probe = jax.jit(lambda a: jnp.sum(a[:, :64].astype(jnp.uint64)))
+    float(probe(out[0]))
     t0 = time.perf_counter()
+    cur = out
     for _ in range(iters):
-        out = bs(c.a, c.b)
-    jax.block_until_ready(out)
+        cur = bs(cur[0], cur[1])
+    float(probe(cur[0]))
     dt = time.perf_counter() - t0
 
     with jax.default_device(cpu):
@@ -287,7 +295,7 @@ def bench_tfhe_prod():
     n_lwe = int(os.environ.get("FHE_BENCH_NLWE", 700))
     t = int(os.environ.get("FHE_BENCH_T", 8))
     B = int(os.environ.get("FHE_BENCH_B", 64))
-    iters = int(os.environ.get("FHE_BENCH_ITERS", 1))
+    iters = int(os.environ.get("FHE_BENCH_ITERS", 3))
     # 2^12 x 2 decomposition: 4 digit rows instead of 6 per CMux step —
     # measured +17%/+14% (short/full chain) with clean decrypts at t=8
     beta = int(os.environ.get("FHE_BENCH_BETA", 4096))
@@ -334,12 +342,15 @@ def bench_tfhe_prod():
 
     bs_jit = jax.jit(_bs)
     bs = lambda ca, cb: bs_jit(ca, cb, sbtk, table, btk_evals)  # noqa: E731
+    # chained + readback-closed window — see bench_tfhe (r5 protocol fix)
     out = bs(c.a, c.b)
-    jax.block_until_ready(out)
+    probe = jax.jit(lambda a: jnp.sum(a[:, :64].astype(jnp.uint64)))
+    float(probe(out[0]))
     t0 = time.perf_counter()
+    cur = out
     for _ in range(iters):
-        out = bs(c.a, c.b)
-    jax.block_until_ready(out)
+        cur = bs(cur[0], cur[1])
+    float(probe(cur[0]))
     dt = time.perf_counter() - t0
 
     with jax.default_device(cpu):
