@@ -566,8 +566,13 @@ def bench_ckks_boot():
     deg, arcsin_terms, base = 30, 4, 2
     h = int(os.environ.get("FHE_BENCH_H", 64))
     K, r = BB.suggest_K_r(n, h)
+    # FHE_BENCH_STAGES > 1: radix-split C2S/S2C (r5) — per-stage diagonal
+    # material O(2^(log(n/2)/S)) rows instead of dense O(n/2); costs
+    # 4*(S-1) extra levels (pt_levels=2 per extra stage per side).  The
+    # n=2^12 config REQUIRES it (dense em does not fit HBM).
+    S = int(os.environ.get("FHE_BENCH_STAGES", 1 if n <= (1 << 11) else 2))
     # +1 level for the deeper arcsin correction (terms=4)
-    L = int(os.environ.get("FHE_BENCH_L", 29 + 2 * r))
+    L = int(os.environ.get("FHE_BENCH_L", 29 + 2 * r + 4 * (S - 1)))
     param = C.Param(n=n, L=L, delta=delta0)
     ks = prng.split(jax.random.PRNGKey(0), 3)
     cpu = jax.devices("cpu")[0]
@@ -586,7 +591,7 @@ def bench_ckks_boot():
         import hashlib
         import pickle
         cfg = (n, B, L, K, r, deg, float(delta0), float(delta_w),
-               arcsin_terms, base, h, 6)        # trailing int: cache rev
+               arcsin_terms, base, h, S, 6)     # trailing int: cache rev
         # rev 6: a-seed pack format + collision-free _rot_subkey schedule
         # (advisor r4 high/medium) — r<=5 caches hold a master key and the
         # old rotation-key PRNG schedule; never load them
@@ -604,7 +609,7 @@ def bench_ckks_boot():
             arrays, static, pout, em_src = BB.precompute_keys(
                 ks[2], param, sk, delta0, batch=(B,), K=K, r=r, deg=deg,
                 delta_w=delta_w, arcsin_terms=arcsin_terms, base_limbs=base,
-                with_em_src=True)
+                with_em_src=True, c2s_stages=S, s2c_stages=S)
             packed = BB.pack_seeded(arrays, ks[2], param, em_src=em_src)
             del arrays
             try:
@@ -622,7 +627,7 @@ def bench_ckks_boot():
     # for tens of minutes (see BB.make_staged)
     run = BB.make_staged(param, static, delta0, K=K, r=r, deg=deg,
                          delta_w=delta_w, arcsin_terms=arcsin_terms,
-                         base_limbs=base)
+                         base_limbs=base, c2s_stages=S, s2c_stages=S)
     back = jax.jit(lambda c0, c1: P.level_drop(pout, C.CT(c0, c1), base)[0])
     probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
     fresh_ct, _ = run(arrays, ct1.c0, ct1.c1)
