@@ -348,6 +348,46 @@ def _stage_raise_c2s(param_boot, keys, ct_l1, K, r, delta_w,
     return outs
 
 
+def _c2s_ms_consts(param_boot, K, r, delta_w, base_limbs):
+    Q0 = _base(param_boot, base_limbs)
+    vmax = (2 * math.pi * (K + 0.5) + math.pi / 2) / (1 << r)
+    a = 2 * math.pi / (Q0 * (1 << r) * vmax)
+    b = (-math.pi / 2) / ((1 << r) * vmax)
+    return a, b, (1 if base_limbs == 1 else 2)
+
+
+def _c2s_ms_stage(param_boot, keys, s, c1, c2, L_cur, K, r, delta_w,
+                  base_limbs: int, stages: int):
+    """Apply C2S stage `s` to both chains (stage 0: c1 is the raised ct,
+    c2 ignored — one shared plan emits both chains).  Returns (c1', c2')."""
+    import numpy as np
+    n = param_boot.n
+    rk = keys.rotkeys()
+    a, _, pt_levels = _c2s_ms_consts(param_boot, K, r, delta_w, base_limbs)
+    smaps = ev.c2s_stage_maps(n, stages, fold=(a * delta_w) / 2)
+    m1, m2 = smaps[s]
+    pL = ckks_rns.Param(n=n, L=L_cur, delta=1.0,
+                        prime_bits=param_boot.prime_bits)
+    if s == 0:
+        pkey = ("c2s_ms", s, L_cur, K, r, delta_w, base_limbs, stages)
+        if pkey not in keys._plans:
+            keys._plans[pkey] = ev.build_rmap_plan(
+                pL, [m1, m2], pt_levels=pt_levels)
+        (c1, c2), _ = ev.apply_rmap_plan(pL, rk, c1, keys._plans[pkey])
+        return c1, c2
+    same = (np.array_equal(m1[0], m2[0]) and np.array_equal(m1[1], m2[1]))
+    outs = []
+    for chain, (mm, cc) in enumerate(((m1, c1), (m2, c2))):
+        ch = 0 if same else chain
+        pkey = ("c2s_ms", s, ch, L_cur, K, r, delta_w, base_limbs, stages)
+        if pkey not in keys._plans:
+            keys._plans[pkey] = ev.build_rmap_plan(
+                pL, [mm], pt_levels=pt_levels)
+        (o,), _ = ev.apply_rmap_plan(pL, rk, cc, keys._plans[pkey])
+        outs.append(o)
+    return outs[0], outs[1]
+
+
 def _stage_raise_c2s_multi(param_boot, keys, ct_l1, K, r, delta_w,
                            base_limbs: int, stages: int):
     """Radix-split ModRaise + C2S (VERDICT r4 #3): `stages` sparse
@@ -358,43 +398,15 @@ def _stage_raise_c2s_multi(param_boot, keys, ct_l1, K, r, delta_w,
     hoisted babies) across both chains since they consume the same raised
     ciphertext.  Output coefficient layout is bitrev-in-t — consumed by
     _stage_s2c_multi, invisible to the slot-pointwise EvalMod."""
-    import numpy as np
     n = param_boot.n
-    Q0 = _base(param_boot, base_limbs)
-    rk = keys.rotkeys()
     ct = (mod_raise(param_boot, ct_l1) if base_limbs == 1
           else mod_raise2(param_boot, ct_l1))
-    vmax = (2 * math.pi * (K + 0.5) + math.pi / 2) / (1 << r)
-    a = 2 * math.pi / (Q0 * (1 << r) * vmax)
-    b = (-math.pi / 2) / ((1 << r) * vmax)
-    scale_fold = a * delta_w
-    pt_levels = 1 if base_limbs == 1 else 2
-    smaps = ev.c2s_stage_maps(n, stages, fold=scale_fold / 2)
+    _, b, pt_levels = _c2s_ms_consts(param_boot, K, r, delta_w, base_limbs)
     L_cur = param_boot.L
-    c1 = c2 = None
-    for s, (m1, m2) in enumerate(smaps):
-        pL = ckks_rns.Param(n=n, L=L_cur, delta=1.0,
-                            prime_bits=param_boot.prime_bits)
-        if s == 0:
-            pkey = ("c2s_ms", s, L_cur, K, r, delta_w, base_limbs, stages)
-            if pkey not in keys._plans:
-                keys._plans[pkey] = ev.build_rmap_plan(
-                    pL, [m1, m2], pt_levels=pt_levels)
-            (c1, c2), _ = ev.apply_rmap_plan(pL, rk, ct, keys._plans[pkey])
-        else:
-            same = (np.array_equal(m1[0], m2[0])
-                    and np.array_equal(m1[1], m2[1]))
-            outs = []
-            for chain, (mm, cc) in enumerate(((m1, c1), (m2, c2))):
-                ch = 0 if same else chain
-                pkey = ("c2s_ms", s, ch, L_cur, K, r, delta_w,
-                        base_limbs, stages)
-                if pkey not in keys._plans:
-                    keys._plans[pkey] = ev.build_rmap_plan(
-                        pL, [mm], pt_levels=pt_levels)
-                (o,), _ = ev.apply_rmap_plan(pL, rk, cc, keys._plans[pkey])
-                outs.append(o)
-            c1, c2 = outs
+    c1, c2 = ct, None
+    for s in range(stages):
+        c1, c2 = _c2s_ms_stage(param_boot, keys, s, c1, c2, L_cur, K, r,
+                               delta_w, base_limbs, stages)
         L_cur -= pt_levels
     outs = []
     for c_ in (c1, c2):
@@ -405,44 +417,53 @@ def _stage_raise_c2s_multi(param_boot, keys, ct_l1, K, r, delta_w,
     return outs
 
 
+def _s2c_ms_stage(param_boot, keys, s, c1, c2, L_cur, base_limbs: int,
+                  stages: int):
+    """Apply S2C stage `s` to both chains.  Returns (c1', c2')."""
+    import numpy as np
+    n = param_boot.n
+    Q0 = _base(param_boot, base_limbs)
+    rk = keys.rotkeys()
+    fold = Q0 / (2 * math.pi) if base_limbs == 1 else 1.0
+    pt_levels = 1 if base_limbs == 1 else 2
+    smaps = ev.s2c_stage_maps(n, stages)
+    m1, m2 = smaps[s]
+    if s == len(smaps) - 1 and fold != 1.0:
+        m1 = (m1[0] * fold, m1[1] * fold)
+        m2 = (m2[0] * fold, m2[1] * fold)
+    pL = ckks_rns.Param(n=n, L=L_cur, delta=1.0,
+                        prime_bits=param_boot.prime_bits)
+    same = (np.array_equal(m1[0], m2[0]) and np.array_equal(m1[1], m2[1]))
+    outs = []
+    for chain, (mm, cc) in enumerate(((m1, c1), (m2, c2))):
+        ch = 0 if same else chain
+        pkey = ("s2c_ms", s, ch, L_cur, base_limbs, stages)
+        if pkey not in keys._plans:
+            keys._plans[pkey] = ev.build_rmap_plan(
+                pL, [mm], pt_levels=pt_levels)
+        (o,), _ = ev.apply_rmap_plan(pL, rk, cc, keys._plans[pkey])
+        outs.append(o)
+    return outs[0], outs[1]
+
+
 def _stage_s2c_multi(param_boot, keys, halves, delta0, double=False,
                      drops: int | None = None, base_limbs: int = 1,
                      stages: int = 2):
     """Radix-split SlotToCoeff: forward butterfly-group plans per chain;
     chain 2's last stage carries the diag(sigma) fold so the final combine
     is a plain add.  Scale bookkeeping identical to _stage_s2c."""
-    import numpy as np
     n = param_boot.n
     Q0 = _base(param_boot, base_limbs)
-    rk = keys.rotkeys()
     (s1, p1), (s2, p2) = halves
     L = min(p1.L, p2.L)
     s1, p1 = poly.level_drop(p1, s1, L)
     s2, p2 = poly.level_drop(p2, s2, L)
-    fold = Q0 / (2 * math.pi) if base_limbs == 1 else 1.0
     pt_levels = 1 if base_limbs == 1 else 2
-    smaps = ev.s2c_stage_maps(n, stages)
     L_cur = L
-    cs = [s1, s2]
-    for s, (m1, m2) in enumerate(smaps):
-        last = (s == len(smaps) - 1)
-        if last and fold != 1.0:
-            m1 = (m1[0] * fold, m1[1] * fold)
-            m2 = (m2[0] * fold, m2[1] * fold)
-        pL = ckks_rns.Param(n=n, L=L_cur, delta=1.0,
-                            prime_bits=param_boot.prime_bits)
-        same = (np.array_equal(m1[0], m2[0])
-                and np.array_equal(m1[1], m2[1]))
-        outs = []
-        for chain, (mm, cc) in enumerate(((m1, cs[0]), (m2, cs[1]))):
-            ch = 0 if same else chain
-            pkey = ("s2c_ms", s, ch, L_cur, base_limbs, stages)
-            if pkey not in keys._plans:
-                keys._plans[pkey] = ev.build_rmap_plan(
-                    pL, [mm], pt_levels=pt_levels)
-            (o,), _ = ev.apply_rmap_plan(pL, rk, cc, keys._plans[pkey])
-            outs.append(o)
-        cs = outs
+    cs = (s1, s2)
+    for s in range(stages):
+        cs = _s2c_ms_stage(param_boot, keys, s, cs[0], cs[1], L_cur,
+                           base_limbs, stages)
         L_cur -= pt_levels
     pf = ckks_rns.Param(n=n, L=L_cur, delta=p1.delta,
                         prime_bits=param_boot.prime_bits)
@@ -660,20 +681,49 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
     (CT, pout); pout is also available as run.pout after the first call."""
     cell = {}
     dbl = _is_double(delta_w, double)
+    pt_levels = 1 if base_limbs == 1 else 2
 
     def f1(arr, c0, c1):
         fk = FrozenKeys(arr, static)
-        if c2s_stages > 1:
-            outs = _stage_raise_c2s_multi(param_boot, fk,
-                                          ckks_rns.CT(c0, c1), K, r,
-                                          delta_w, base_limbs, c2s_stages)
-        else:
-            outs = _stage_raise_c2s(param_boot, fk, ckks_rns.CT(c0, c1),
-                                    K, r, delta_w, base_limbs)
+        outs = _stage_raise_c2s(param_boot, fk, ckks_rns.CT(c0, c1),
+                                K, r, delta_w, base_limbs)
         cell["p1"] = outs[0][1]
         assert outs[1][1] == outs[0][1]    # halves share a level signature
         return (outs[0][0].c0, outs[0][0].c1,
                 outs[1][0].c0, outs[1][0].c1)
+
+    # multi-stage: ONE JIT PER TRANSFORM STAGE — the bundled raise+C2S
+    # graph at n=2^12 serializes to ~90 MB MLIR and the environment's
+    # remote-compile helper OOMs on it; per-stage graphs stay small
+    def f1_ms(s):
+        L_cur = param_boot.L - s * pt_levels
+
+        def g(arr, c0, c1, d0, d1):
+            fk = FrozenKeys(arr, static)
+            if s == 0:
+                ct = (mod_raise(param_boot, ckks_rns.CT(c0, c1))
+                      if base_limbs == 1
+                      else mod_raise2(param_boot, ckks_rns.CT(c0, c1)))
+                a_, b_ = _c2s_ms_stage(param_boot, fk, 0, ct, None,
+                                       L_cur, K, r, delta_w, base_limbs,
+                                       c2s_stages)
+            else:
+                a_, b_ = _c2s_ms_stage(param_boot, fk,
+                                       s, ckks_rns.CT(c0, c1),
+                                       ckks_rns.CT(d0, d1), L_cur, K, r,
+                                       delta_w, base_limbs, c2s_stages)
+            if s == c2s_stages - 1:        # final: the b-shift epilogue
+                _, bconst, _ = _c2s_ms_consts(param_boot, K, r, delta_w,
+                                              base_limbs)
+                p_ = ckks_rns.Param(n=param_boot.n,
+                                    L=L_cur - pt_levels, delta=delta_w,
+                                    prime_bits=param_boot.prime_bits)
+                a_ = poly.add_pt_const(p_, a_, bconst * 1.0)
+                b_ = poly.add_pt_const(p_, b_, bconst * 1.0)
+                cell["p1"] = p_
+            return a_.c0, a_.c1, b_.c0, b_.c1
+
+        return g
 
     def f2(arr, c0, c1):
         fk = FrozenKeys(arr, static)
@@ -686,25 +736,74 @@ def make_staged(param_boot, static, delta0: float, K: int = 7, r: int = 3,
         fk = FrozenKeys(arr, static)
         halves = [(ckks_rns.CT(a0, a1), cell["p2"]),
                   (ckks_rns.CT(b0, b1), cell["p2"])]
-        if s2c_stages > 1:
-            out, pout = _stage_s2c_multi(param_boot, fk, halves, delta0,
-                                         dbl, s2c_drops, base_limbs,
-                                         s2c_stages)
-        else:
-            out, pout = _stage_s2c(param_boot, fk, halves, delta0, dbl,
-                                   s2c_drops, base_limbs)
+        out, pout = _stage_s2c(param_boot, fk, halves, delta0, dbl,
+                               s2c_drops, base_limbs)
         cell["pout"] = pout
         return out.c0, out.c1
 
-    j1, j2, j3 = jax.jit(f1), jax.jit(f2), jax.jit(f3)
+    def f3_ms(s):
+        def g(arr, a0, a1, b0, b1):
+            fk = FrozenKeys(arr, static)
+            L_cur = cell["p2"].L - s * pt_levels
+            c1_, c2_ = _s2c_ms_stage(param_boot, fk, s, ckks_rns.CT(a0, a1),
+                                     ckks_rns.CT(b0, b1), L_cur,
+                                     base_limbs, s2c_stages)
+            if s < s2c_stages - 1:
+                return c1_.c0, c1_.c1, c2_.c0, c2_.c1
+            # last stage: combine + delta bookkeeping + final drops
+            n = param_boot.n
+            Q0 = _base(param_boot, base_limbs)
+            pf = ckks_rns.Param(n=n, L=L_cur - pt_levels,
+                                delta=cell["p2"].delta,
+                                prime_bits=param_boot.prime_bits)
+            out = ckks_rns.add(pf, c1_, c2_)
+            out_delta = (pf.delta * delta0 if base_limbs == 1
+                         else pf.delta * (2 * math.pi / Q0) * delta0)
+            pout = ckks_rns.Param(n=n, L=pf.L, delta=out_delta,
+                                  prime_bits=param_boot.prime_bits)
+            drops = s2c_drops
+            if drops is None:
+                drops = 1 if base_limbs == 1 else 0
+            for _ in range(drops):
+                out, _ = ckks_rns.rescale(pout, out)
+                pout = ckks_rns.Param(n=n, L=pout.L - 1,
+                                      delta=pout.delta
+                                      / pout.qs[pout.L - 1],
+                                      prime_bits=param_boot.prime_bits)
+            cell["pout"] = pout
+            return out.c0, out.c1, out.c0, out.c1
+
+        return g
+
+    j2 = jax.jit(f2)
+    if c2s_stages > 1:
+        j1s = [jax.jit(f1_ms(s)) for s in range(c2s_stages)]
+    else:
+        j1 = jax.jit(f1)
+    if s2c_stages > 1:
+        j3s = [jax.jit(f3_ms(s)) for s in range(s2c_stages)]
+    else:
+        j3 = jax.jit(f3)
 
     def run(arrays, c0, c1):
-        a0, a1, b0, b1 = j1(arrays, c0, c1)
+        if c2s_stages > 1:
+            a0, a1, b0, b1 = c0, c1, c0, c1
+            for jf in j1s:
+                a0, a1, b0, b1 = jf(arrays, a0, a1, b0, b1)
+        else:
+            a0, a1, b0, b1 = j1(arrays, c0, c1)
         a0, a1 = j2(arrays, a0, a1)
         b0, b1 = j2(arrays, b0, b1)        # same compile, second half
-        o0, o1 = j3(arrays, a0, a1, b0, b1)
+        if s2c_stages > 1:
+            for jf in j3s:
+                a0, a1, b0, b1 = jf(arrays, a0, a1, b0, b1)
+            o0, o1 = a0, a1
+        else:
+            o0, o1 = j3(arrays, a0, a1, b0, b1)
         run.pout = cell["pout"]
         return ckks_rns.CT(o0, o1), cell["pout"]
 
-    run.jits = (j1, j2, j3)        # stage handles (HLO-size diagnostics)
+    run.jits = ((tuple(j1s) if c2s_stages > 1 else (j1,))
+                + (j2,)
+                + (tuple(j3s) if s2c_stages > 1 else (j3,)))
     return run
