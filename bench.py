@@ -876,8 +876,11 @@ def main():
     # persistent cache (the alarm kills the wait before the cache write) —
     # builders must pre-warm new graphs with FHE_BENCH_KIND=<mode>
     # standalone runs, which have no alarm.
-    cap = {"ntt": 280, "bfv": 330, "bfv_linear": 150, "ckks": 180,
-           "tfhe": 200, "tfhe_prod": 200, "ckks_boot": 600}
+    cap = {"ntt": 280, "bfv": 330, "bfv_linear": 150, "ckks": 260,
+           "tfhe": 200, "tfhe_prod": 200, "ckks_boot": 10 ** 6}
+    # ckks_boot runs LAST: its cap is effectively `left` — the whole
+    # remaining budget (r5 run measured cheap modes at ~650 s warm-ish,
+    # leaving ~900 s; the old 600 cap starved it under host contention)
     # initialize the device backend BEFORE the mode loop: the first
     # jax.devices() pays the axon tunnel handshake (~30-60 s), which must
     # not be charged against the first mode's alarm slice
