@@ -392,9 +392,14 @@ def bench_bfv_linear():
         m2 = prng.uniform_mod(ks[3], (B, n), t)
         c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
         c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
-        return dict(sk=sk, m1=m1, m2=m2, c1=c1, c2=c2)
+        from fhe_study_tpu.ops import ntt as ntt_mod
+        from fhe_study_tpu.ops import modops
+        s12 = (m1 + m2) % jnp.uint64(t)
+        want = modops.coerce_i64(ntt_mod.polymul_i64_crt(
+            s12.astype(jnp.int64), m2.astype(jnp.int64)), t)
+        return dict(sk=sk, m1=m1, m2=m2, c1=c1, c2=c2, want=want)
 
-    st = _setup_cached("bfv_linear", (n, t, L, B, 1), build)
+    st = _setup_cached("bfv_linear", (n, t, L, B, 2), build)
     sk, m1, m2, c1, c2 = (st["sk"], st["m1"], st["m2"], st["c1"], st["c2"])
     dev = jax.devices()[0]
     c1, c2, m2d = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), dev),
@@ -450,15 +455,10 @@ def bench_bfv_linear():
     float(probe(timed[0]))
     dt = time.perf_counter() - t0
 
-    from fhe_study_tpu.ops import ntt as ntt_mod
-    from fhe_study_tpu.ops import modops
     with jax.default_device(cpu):
         out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), out)
         rec = R.decrypt(param, sk, R.CT(out_cpu[0], out_cpu[1]))
-        s12 = (m1 + m2) % jnp.uint64(t)
-        want = modops.coerce_i64(ntt_mod.polymul_i64_crt(
-            s12.astype(jnp.int64), m2.astype(jnp.int64)), t)
-    ok = bool((np.asarray(rec) == np.asarray(want)).all())
+    ok = bool((np.asarray(rec) == np.asarray(st["want"])).all())
     value = B * chain * iters / dt
     return _emit({
         "metric": f"bfv_rns_add_ptmul_n{n}_per_sec_per_chip"
@@ -692,9 +692,15 @@ def bench_bfv():
         m2 = prng.uniform_mod(ks[3], (B, n), t)
         c1 = R.encrypt(ks[4], param, pk, m1, batch=(B,))
         c2 = R.encrypt(ks[5], param, pk, m2, batch=(B,))
-        return dict(sk=sk, rlk=rlk, m1=m1, m2=m2, c1=c1, c2=c2)
+        # expected plaintext product: computing it per run cost ~1-2 min
+        # of the mode's alarm slice (O(n log n) CRT mul at B=128, CPU)
+        from fhe_study_tpu.ops import ntt as ntt_mod
+        from fhe_study_tpu.ops import modops
+        want = modops.coerce_i64(ntt_mod.polymul_i64_crt(
+            m1.astype(jnp.int64), m2.astype(jnp.int64)), t)
+        return dict(sk=sk, rlk=rlk, m1=m1, m2=m2, c1=c1, c2=c2, want=want)
 
-    st = _setup_cached("bfv", (n, t, L, M, B, relin, 1), build)
+    st = _setup_cached("bfv", (n, t, L, M, B, relin, 2), build)
     sk, rlk, m1, m2, c1, c2 = (st["sk"], st["rlk"], st["m1"], st["m2"],
                                st["c1"], st["c2"])
     krlk = type(rlk)
@@ -773,14 +779,10 @@ def bench_bfv():
     # correctness spot check (don't bench a broken kernel) — on CPU, with an
     # O(n log n) exact reference product (dense n^2 is infeasible at 2^14)
     import numpy as np
-    from fhe_study_tpu.ops import ntt as ntt_mod
-    from fhe_study_tpu.ops import modops
     with jax.default_device(cpu):
         out_cpu = jax.tree.map(lambda x: jax.device_put(x, cpu), out)
         rec = R.decrypt(param, sk, R.CT(out_cpu[0], out_cpu[1]))
-        want = modops.coerce_i64(
-            ntt_mod.polymul_i64_crt(m1.astype(jnp.int64), m2.astype(jnp.int64)), t)
-    ok = bool((np.asarray(rec) == np.asarray(want)).all())
+    ok = bool((np.asarray(rec) == np.asarray(st["want"])).all())
 
     value = B * chain * iters / dt
     # butterfly accounting for the roofline fraction: relin digit
