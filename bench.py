@@ -605,6 +605,7 @@ def bench_ckks_boot():
             with open(cache_f, "rb") as fh:
                 packed, static, pout = pickle.load(fh)
             packed = jax.tree.map(jnp.asarray, packed)
+            _note("ckks_boot: seeded key cache loaded")
         else:
             arrays, static, pout, em_src = BB.precompute_keys(
                 ks[2], param, sk, delta0, batch=(B,), K=K, r=r, deg=deg,
@@ -621,7 +622,10 @@ def bench_ckks_boot():
     dev = jax.devices()[0]
     packed, ct1 = jax.tree.map(lambda x: jax.device_put(x, dev),
                                (packed, ct1))
+    _note("ckks_boot: device upload done")
     arrays = BB.expand_seeded(packed, param)   # a-planes regenerate on-chip
+    jax.block_until_ready(jax.tree.leaves(arrays["rlk"])[0])
+    _note("ckks_boot: a-planes + em expanded on-chip")
 
     # per-STAGE jits: the whole-pipeline single jit is a graph XLA compiles
     # for tens of minutes (see BB.make_staged)
@@ -632,6 +636,7 @@ def bench_ckks_boot():
     probe = jax.jit(lambda a: jnp.sum(a[:, 0, :64]))
     fresh_ct, _ = run(arrays, ct1.c0, ct1.c1)
     float(probe(fresh_ct.c0))
+    _note("ckks_boot: warmup bootstrap done")
     fresh = (fresh_ct.c0, fresh_ct.c1)     # decrypt-verified below
     nxt = back(fresh_ct.c0, fresh_ct.c1)
     float(probe(nxt.c0))
